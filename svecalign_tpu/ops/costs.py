@@ -1,0 +1,226 @@
+"""Cost-matrix construction as XLA batched matmuls / gathers.
+
+TPU-native replacement for the reference Cython cost kernels
+(reference svecalign/vecalign/dp_core.pyx:36-77 ``make_dense_costs`` and
+:165-267 ``make_sparse_costs``): the N x M cosine-cost matrix is one MXU
+matmul, and the banded cost tensor is a chunked gather + batched dot over
+the band, vectorized across alignment types.
+
+Cost convention (dp_core.pyx:73-75, 259-260): aligning an x-span of n
+segments with a y-span of m segments costs
+
+    2 * n * m * (1 - cos_sim) / (1e-6 + norm0 + norm1)
+
+where ``norm0/norm1`` are margin-style normalizers (1 - mean similarity vs
+random vectors), not vector norms.
+"""
+
+import math
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def make_norm1(vecs: Array, eps: float = 1e-5) -> Array:
+    """L2-normalize along the last axis: v / (||v|| + eps).
+
+    Matches reference dp_utils.py:32-40 (note the additive epsilon: these are
+    not exactly unit vectors).
+    """
+    norm = jnp.sqrt(jnp.sum(jnp.square(vecs), axis=-1, keepdims=True))
+    return vecs / (norm + eps)
+
+
+@jax.jit
+def downsample_vectors(vecs: Array) -> Array:
+    """Halve the sequence: sum consecutive pairs, remove mean, renormalize.
+
+    Matches reference dp_utils.py:362-378. Input (n_overlaps, b, d) ->
+    (n_overlaps, b // 2, d). An odd trailing element is dropped.
+    """
+    n, b, d = vecs.shape
+    half = vecs[:, : b - b % 2].reshape(n, b // 2, 2, d).sum(axis=2)
+    half = half - jnp.mean(half, axis=1, keepdims=True)
+    return make_norm1(half)
+
+
+@jax.jit
+def dense_costs(vecs0: Array, vecs1: Array, norms0: Array, norms1: Array) -> Array:
+    """Full N x M 1-1 cost matrix via one MXU matmul.
+
+    Equivalent to reference dp_core.pyx:36-77 with offset0 = offset1 = 0.
+    vecs0: (N, d), vecs1: (M, d), norms0: (N,), norms1: (M,). Returns (N, M).
+    """
+    sim = jnp.dot(
+        vecs0,
+        vecs1.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    denom = 1e-6 + norms0[:, None] + norms1[None, :]
+    return 2.0 * (1.0 - sim) / denom
+
+
+def compute_norms_from_sample(vecs0: Array, sample: Array) -> Array:
+    """Margin normalizers: 1 - mean cosine similarity vs a sample matrix.
+
+    vecs0: (n_overlaps, N, d) unit-ish vectors; sample: (S, d) random vectors
+    from the other side. Returns (n_overlaps, N). Mirrors reference
+    dp_utils.py:326-359 (the matmul + mean), with the sampling done by the
+    caller so the device op stays pure.
+    """
+    sim = jnp.einsum(
+        "ond,sd->ons",
+        vecs0,
+        sample,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return 1.0 - jnp.mean(sim, axis=-1)
+
+
+def compute_norms(
+    vecs0: np.ndarray,
+    vecs1: np.ndarray,
+    num_samples: int,
+    rng: np.random.Generator,
+) -> Array:
+    """Sample ``num_samples`` vectors across all overlap planes of ``vecs1``
+    and compute margin normalizers for every overlap plane of ``vecs0``.
+
+    Semantics follow reference dp_utils.py:326-359: ceil(num_samples /
+    n_overlaps) draws per overlap plane, with replacement. Returns
+    (n_overlaps0, size0) float32. Uses a caller-provided seeded RNG (the
+    reference samples unseeded; we default to seeded for reproducibility).
+    """
+    overlaps1, size1, dim = vecs1.shape
+    overlaps0, size0, _ = vecs0.shape
+
+    samps_per_overlap = math.ceil(num_samples / overlaps1) if overlaps1 else 0
+
+    if size1 and samps_per_overlap:
+        planes = []
+        for overlap_ii in range(overlaps1):
+            idxs = rng.integers(0, size1, size=samps_per_overlap)
+            planes.append(np.asarray(vecs1)[overlap_ii, idxs, :])
+        sample = jnp.asarray(np.concatenate(planes, axis=0))
+        return compute_norms_from_sample(jnp.asarray(vecs0), sample)
+    return jnp.ones((overlaps0, size0), dtype=jnp.float32)
+
+
+def path_to_band_offsets(path: Sequence[Tuple[int, int]], width_over2: int) -> np.ndarray:
+    """Convert a monotone unit-step search path into per-anti-diagonal band
+    offsets: b_offset[a] = y(a) - width_over2, in rotated coords a = x + y,
+    b = y. (Reference dp_core.pyx:234-244.)
+    """
+    path = np.asarray(path, dtype=np.int32)
+    a_coords = path[:, 0] + path[:, 1]
+    assert np.array_equal(a_coords, np.arange(len(path))), (
+        "search path must step exactly one position in x XOR y per entry"
+    )
+    return (path[:, 1] - width_over2).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("x_offsets", "y_offsets", "width_over2", "chunk"))
+def banded_costs(
+    vecs0: Array,
+    vecs1: Array,
+    norms0: Array,
+    norms1: Array,
+    b_offset: Array,
+    x_offsets: Tuple[int, ...],
+    y_offsets: Tuple[int, ...],
+    width_over2: int,
+    chunk: int = 512,
+) -> Array:
+    """Banded cost tensor along a search path, one slice per alignment type.
+
+    Equivalent to reference dp_core.pyx:165-267 but computed as chunked
+    gathers + batched dots, vectorized over the band and all alignment
+    types. Out-of-document cells are +inf.
+
+    vecs0: (n_overlaps0, N, d), vecs1: (n_overlaps1, M, d)
+    norms0: (n_overlaps0, N), norms1: (n_overlaps1, M)
+    b_offset: (A,) int32 per-anti-diagonal band start (y coordinate - w/2)
+    Returns (len(types), A, 2 * width_over2) float32.
+    """
+    xsize = vecs0.shape[1]
+    ysize = vecs1.shape[1]
+    bwidth = 2 * width_over2
+    a_len = b_offset.shape[0]
+
+    xo = np.asarray(x_offsets, dtype=np.int32)
+    yo = np.asarray(y_offsets, dtype=np.int32)
+    # distinct overlap planes actually used on each side
+    ux = tuple(sorted(set(int(v) for v in xo)))
+    uy = tuple(sorted(set(int(v) for v in yo)))
+    xi_map = np.array([ux.index(int(v)) for v in xo])  # type -> plane slot
+    yi_map = np.array([uy.index(int(v)) for v in yo])
+
+    v0 = jnp.stack([vecs0[i - 1] for i in ux])  # (nux, N, d)
+    v1 = jnp.stack([vecs1[j - 1] for j in uy])  # (nuy, M, d)
+    n0 = jnp.stack([norms0[i - 1] for i in ux])  # (nux, N)
+    n1 = jnp.stack([norms1[j - 1] for j in uy])
+
+    # pad A to a multiple of chunk for lax.map
+    n_chunks = -(-a_len // chunk)
+    pad_a = n_chunks * chunk - a_len
+    b_off_pad = jnp.pad(b_offset, (0, pad_a))
+    a_idx = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk)
+    b_off_chunks = b_off_pad.reshape(n_chunks, chunk)
+
+    band = jnp.arange(bwidth, dtype=jnp.int32)
+    type_scale = jnp.asarray(2.0 * xo * yo, dtype=jnp.float32)[:, None, None]
+
+    def one_chunk(args):
+        a_rows, b_rows = args  # (chunk,), (chunk,)
+        yy = b_rows[:, None] + band[None, :]  # (chunk, B)
+        xx = a_rows[:, None] - yy
+        valid = (xx >= 0) & (xx < xsize) & (yy >= 0) & (yy < ysize)
+        xc = jnp.clip(xx, 0, xsize - 1)
+        yc = jnp.clip(yy, 0, ysize - 1)
+
+        g0 = v0[:, xc]  # (nux, chunk, B, d)
+        g1 = v1[:, yc]  # (nuy, chunk, B, d)
+        sim = jnp.einsum(
+            "icbd,jcbd->ijcb",
+            g0,
+            g1,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        denom = 1e-6 + n0[:, xc][:, None] + n1[:, yc][None, :]  # (nux, nuy, chunk, B)
+        feats = (1.0 - sim) / denom  # type scale applied after indexing
+        feats_t = feats[xi_map, yi_map]  # (T, chunk, B)
+        feats_t = type_scale * feats_t
+        return jnp.where(valid[None], feats_t, jnp.inf)
+
+    out = jax.lax.map(one_chunk, (a_idx, b_off_chunks))  # (n_chunks, T, chunk, B)
+    out = jnp.moveaxis(out, 1, 0).reshape(len(x_offsets), n_chunks * chunk, bwidth)
+    return out[:, :a_len]
+
+
+def score_pairs(
+    x_idx: np.ndarray,
+    y_idx: np.ndarray,
+    norms0: np.ndarray,
+    norms1: np.ndarray,
+    vecs0: np.ndarray,
+    vecs1: np.ndarray,
+) -> np.ndarray:
+    """Batched cosine-distance costs for sampled index pairs.
+
+    Equivalent to reference dp_core.pyx:143-161 ``score_path`` (note: no
+    epsilon in this denominator). Used for deletion-penalty estimation.
+    """
+    v0 = np.asarray(vecs0)[x_idx]
+    v1 = np.asarray(vecs1)[y_idx]
+    dots = np.einsum("nd,nd->n", v0, v1)
+    return (2.0 * (1.0 - dots) / (np.asarray(norms0)[x_idx] + np.asarray(norms1)[y_idx])).astype(
+        np.float32
+    )

@@ -1,0 +1,288 @@
+"""Dynamic-programming alignment kernels, XLA-native.
+
+TPU-first reformulation of the reference Cython DP kernels
+(reference svecalign/vecalign/dp_core.pyx:79-141 ``dense_dp`` and
+:269-405 ``sparse_dp``):
+
+- ``dense_dp``: the classic 3-move (diag/left/up) DP. The within-row
+  "left" dependency is a min-plus prefix scan with a linear penalty, so each
+  row is computed in parallel with ``jax.lax.associative_scan`` and rows are
+  driven by one ``lax.scan`` — no scalar loops.
+
+- ``banded_dp``: the banded DP along a search path in rotated coordinates
+  (a, b) = (x + y, y). Anti-diagonal ``a`` depends only on rows
+  ``a-1 .. a-K`` (K = max alignment span), and within a row every band cell
+  and every alignment type is independent. The scan carries a K-row ring
+  buffer of the cumulative-cost band; each step is a handful of
+  dynamic-slices + adds + a min-reduce across types, fully vectorized over
+  the band (VPU lanes). Backpointers are emitted per row and traced back on
+  the host (:mod:`svecalign_tpu.vecalign.traceback`).
+
+Key algebraic fact exploited (vs the reference's per-cell coordinate
+arithmetic): for a fixed output row ``a`` and alignment type ``(xo, yo)``,
+the predecessor band position of every cell ``b`` is the SAME uniform shift
+``b_offset_out[a] - yo - b_offset_out[a - xo - yo]``, and the cost-band row
+aligns exactly (shift 0). This turns the inner double loop into vector ops.
+
+Accumulation is float32 (the reference uses float64); parity is defined as
+gold-F1 equality plus cost agreement within tolerance (SURVEY.md section 6).
+"""
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+NEG_BP = -42  # backpointer marker for unreachable cells (dp_core.pyx:367-368)
+
+
+# ---------------------------------------------------------------------------
+# Dense DP
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def dense_dp(costs: Array, pen: Array) -> Tuple[Array, Array]:
+    """Full 2-D DP over a (N, M) 1-1 cost matrix with ins/del penalty ``pen``.
+
+    Returns (csum, bp) of shape (N+1, M+1): cumulative cost and backpointers
+    on nodes (0 = diag, 1 = left/insertion, 2 = up/deletion), matching
+    reference dp_core.pyx:79-141 including tie-breaking priority
+    diag > left > up.
+
+    Computed as an anti-diagonal wavefront ``lax.scan``: every cell of an
+    anti-diagonal depends only on the two previous anti-diagonals, so each
+    step is pure vector math (no within-step dependency) and each candidate
+    uses the same arithmetic chain as the sequential recurrence — exact ties
+    (e.g. along deletion runs) resolve identically.
+    """
+    n, m = costs.shape
+    rmax, cmax = n + 1, m + 1
+    inf = jnp.float32(jnp.inf)
+
+    r_idx = jnp.arange(rmax, dtype=jnp.int32)
+
+    # pre-extract cost anti-diagonals: cost_diag[d, r] = costs[r-1, d-r-1]
+    n_diags = rmax + cmax - 1
+    dd = jnp.arange(n_diags, dtype=jnp.int32)[:, None]
+    rr = r_idx[None, :]
+    cc = dd - rr
+    cost_valid = (rr >= 1) & (cc >= 1) & (rr - 1 < n) & (cc - 1 < m)
+    cost_diag = jnp.where(
+        cost_valid,
+        costs[jnp.clip(rr - 1, 0, n - 1), jnp.clip(cc - 1, 0, m - 1)],
+        inf,
+    )  # (n_diags, rmax)
+
+    def shift_down(v):
+        # v[r] -> v[r-1] with inf at r=0
+        return jnp.concatenate([jnp.full((1,), inf), v[:-1]])
+
+    def step(carry, inputs):
+        p1, p2 = carry  # diagonals d-1 and d-2, indexed by r
+        cdiag, d = inputs
+
+        c = d - r_idx
+        on_grid = (c >= 0) & (c < cmax)
+
+        cost0 = shift_down(p2) + cdiag  # diag move
+        cost1 = p1 + pen  # left move (insertion)
+        cost2 = shift_down(p1) + pen  # up move (deletion)
+
+        # sequential priority: diag, then strictly-better left, then up
+        val = jnp.where(cost1 < cost0, cost1, cost0)
+        bp = jnp.where(cost1 < cost0, 1, 0)
+        bp = jnp.where(cost2 < val, 2, bp)
+        val = jnp.where(cost2 < val, cost2, val)
+
+        # boundary rows/cols (dp_core.pyx:107-119)
+        cf = c.astype(jnp.float32)
+        rf = r_idx.astype(jnp.float32)
+        val = jnp.where(r_idx == 0, cf * pen, val)
+        bp = jnp.where(r_idx == 0, 1, bp)
+        val = jnp.where((c == 0) & (r_idx > 0), rf * pen, val)
+        bp = jnp.where((c == 0) & (r_idx > 0), 2, bp)
+        val = jnp.where((r_idx == 0) & (c == 0), 0.0, val)
+        bp = jnp.where((r_idx == 0) & (c == 0), 4, bp)
+
+        val = jnp.where(on_grid, val, inf)
+        bp = jnp.where(on_grid, bp, -1).astype(jnp.int32)
+        return (val, p1), (val, bp)
+
+    p0 = jnp.full((rmax,), inf)
+    _, (val_diags, bp_diags) = jax.lax.scan(
+        step, (p0, p0), (cost_diag, dd[:, 0])
+    )
+
+    # reassemble (d, r) diagonal-major planes into (r, c) matrices
+    rg, cg = jnp.meshgrid(r_idx, jnp.arange(cmax, dtype=jnp.int32), indexing="ij")
+    csum = val_diags[rg + cg, rg]
+    bp = bp_diags[rg + cg, rg]
+    return csum, bp
+
+
+# ---------------------------------------------------------------------------
+# Banded (sparse) DP
+# ---------------------------------------------------------------------------
+
+
+def extend_band_offsets(b_offset_in: np.ndarray) -> np.ndarray:
+    """Node-space band offsets: two replicated points at the front, then +1.
+
+    Matches reference dp_core.pyx:315-328 — costs live between nodes, so the
+    node grid is shifted by (x=+1, y=+1), i.e. (a=+2, b=+1) in rotated
+    coordinates.
+    """
+    b_offset_in = np.asarray(b_offset_in, dtype=np.int32)
+    first = b_offset_in[0]
+    return np.concatenate([[first, first], b_offset_in + 1]).astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("x_offsets", "y_offsets"))
+def banded_dp(
+    costs: Array,
+    b_offset_in: Array,
+    b_offset_out: Array,
+    x_offsets: Tuple[int, ...],
+    y_offsets: Tuple[int, ...],
+    del_penalty: Array,
+    x_in_size: Array,
+    y_in_size: Array,
+) -> Tuple[Array, Array, Array]:
+    """Banded wavefront DP along a search path.
+
+    costs: (T, A, B) banded per-type costs from :func:`banded_costs`
+    b_offset_in: (A,) band offsets of the cost grid
+    b_offset_out: (A+2,) band offsets of the node grid (extend_band_offsets)
+    x_offsets / y_offsets: alignment types EXCLUDING ins/del; (0,1) and
+        (1,0) are appended internally (dp_core.pyx:305-307), in that order,
+        preserving the reference's first-minimum tie-breaking.
+    Returns (csum, xp, yp) each of shape (A+2, B).
+    """
+    T, A, B = costs.shape
+    inf = jnp.float32(jnp.inf)
+
+    xo = np.concatenate([np.asarray(x_offsets, np.int32), [0, 1]])
+    yo = np.concatenate([np.asarray(y_offsets, np.int32), [1, 0]])
+    span = xo + yo  # lookback distance in a per type
+    K = int(span.max())  # ring-buffer depth
+    P = K + 1  # band padding for predecessor shifts (|shift| <= K)
+    n_types = len(xo)
+    is_indel = (xo == 0) | (yo == 0)
+
+    xo_j = jnp.asarray(xo)
+    yo_j = jnp.asarray(yo)
+    span_j = jnp.asarray(span)
+    indel_j = jnp.asarray(is_indel)
+
+    x_out_size = x_in_size + 1
+    y_out_size = y_in_size + 1
+
+    band = jnp.arange(B, dtype=jnp.int32)
+
+    # costs padded so that row index aa-2 can be fetched unconditionally
+    costs_pad = jnp.concatenate(
+        [jnp.full((T, 2, B), inf), costs], axis=1
+    )  # (T, A+2, B); row aa holds input-cost row aa-2
+
+    def step(ring, aa):
+        # ring: (K, B + 2P) float32, padded rows of the last K csum rows
+        boff_a = b_offset_out[aa]
+        yy = boff_a + band  # y coordinate of each band cell
+        xx = aa - yy
+
+        # --- candidate values per type -----------------------------------
+        prev_rows_idx = (aa - span_j) % K  # (n_types,)
+        boff_prev = b_offset_out[jnp.clip(aa - span_j, 0, None)]
+        shifts = boff_a - yo_j - boff_prev  # uniform per type
+
+        def get_prev(t):
+            row = ring[prev_rows_idx[t]]
+            return jax.lax.dynamic_slice(row, (P + shifts[t],), (B,))
+
+        prev_vals = jax.vmap(get_prev)(jnp.arange(n_types))  # (n_types, B)
+
+        cost_row = costs_pad[:, aa, :]  # (T, B); +inf rows for aa < 2
+        # rows beyond the cost grid (aa - 2 >= A) are invalid
+        cost_row = jnp.where(aa - 2 < A, cost_row, inf)
+        indel_cost = jnp.full((B,), del_penalty, dtype=jnp.float32)
+        cost_all = jnp.concatenate([cost_row, indel_cost[None], indel_cost[None]])
+
+        xx_in = xx - 1
+        yy_in = yy - 1
+        xx_prev = xx[None, :] - xo_j[:, None]  # (n_types, B)
+        yy_prev = yy[None, :] - yo_j[:, None]
+        valid = (
+            (xx_in >= 0)[None]
+            & (xx_in < x_in_size)[None]
+            & (yy_in >= 0)[None]
+            & (yy_in < y_in_size)[None]
+            & (xx_prev >= 0)
+            & (xx_prev < x_out_size)
+            & (yy_prev >= 0)
+            & (yy_prev < y_out_size)
+            & (aa >= span_j)[:, None]
+        )
+
+        cand = jnp.where(valid, prev_vals + cost_all, inf)
+        best_t = jnp.argmin(cand, axis=0)  # first minimum wins
+        best_val = jnp.take_along_axis(cand, best_t[None], axis=0)[0]
+        reachable = jnp.isfinite(best_val)
+        xp = jnp.where(reachable, xo_j[best_t], NEG_BP)
+        yp = jnp.where(reachable, yo_j[best_t], NEG_BP)
+        val = jnp.where(reachable, best_val, inf)
+
+        # --- edge cases override (dp_core.pyx:352-362) --------------------
+        edge_y = (xx == 0) & (yy >= 0) & (yy < y_out_size)  # all-insertions column
+        edge_x = (~edge_y) & (yy == 0) & (xx >= 0) & (xx < x_out_size)
+        val = jnp.where(edge_y, del_penalty * yy, val)
+        xp = jnp.where(edge_y, 0, xp)
+        yp = jnp.where(edge_y, 1, yp)
+        val = jnp.where(edge_x, del_penalty * xx, val)
+        xp = jnp.where(edge_x, 1, xp)
+        yp = jnp.where(edge_x, 0, yp)
+
+        new_padded = jnp.full((B + 2 * P,), inf).at[P : P + B].set(val)
+        ring = ring.at[aa % K].set(new_padded)
+        return ring, (val, xp.astype(jnp.int32), yp.astype(jnp.int32))
+
+    ring0 = jnp.full((K, B + 2 * P), inf, dtype=jnp.float32)
+    _, (csum, xp, yp) = jax.lax.scan(step, ring0, jnp.arange(A + 2, dtype=jnp.int32))
+    return csum, xp, yp
+
+
+def run_banded_dp(
+    costs,
+    b_offset_in: np.ndarray,
+    alignment_types: List[Tuple[int, int]],
+    del_penalty: float,
+    x_in_size: int,
+    y_in_size: int,
+):
+    """Convenience wrapper matching the reference ``sparse_dp`` signature.
+
+    Returns (csum, xp, yp, b_offset_out) as host numpy arrays.
+    """
+    x_offsets = tuple(x for x, _ in alignment_types)
+    y_offsets = tuple(y for _, y in alignment_types)
+    b_off_out = extend_band_offsets(np.asarray(b_offset_in))
+    csum, xp, yp = banded_dp(
+        jnp.asarray(costs),
+        jnp.asarray(b_offset_in, dtype=jnp.int32),
+        jnp.asarray(b_off_out),
+        x_offsets,
+        y_offsets,
+        jnp.float32(del_penalty),
+        jnp.int32(x_in_size),
+        jnp.int32(y_in_size),
+    )
+    return (
+        np.asarray(csum, dtype=np.float64),
+        np.asarray(xp),
+        np.asarray(yp),
+        b_off_out,
+    )
