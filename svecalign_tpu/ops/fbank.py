@@ -1,0 +1,134 @@
+"""Kaldi-compatible log-mel filterbank features as a batched XLA op.
+
+TPU-native replacement for the reference's torchaudio kaldi fbank
+(reference svecalign/utils/audio_utils.py:135-151): 80 mel bins, 25 ms
+povey windows at 10 ms shift, preemphasis 0.97, per-frame DC removal,
+power spectrum, snip_edges — matching torchaudio.compliance.kaldi.fbank
+defaults (dither = 0).
+
+The whole framing + FFT + mel projection is one jit-compiled program; the
+mel projection is an MXU matmul over frames.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MEL_LOW_FREQ = 20.0
+EPSILON = 1.1920928955078125e-07  # FLT_EPSILON, kaldi's log floor
+
+
+def _mel_scale(freq):
+    return 1127.0 * np.log(1.0 + freq / 700.0)
+
+
+def mel_banks(
+    num_bins: int, window_size_padded: int, sample_rate: float,
+    low_freq: float = MEL_LOW_FREQ, high_freq: float = 0.0,
+) -> np.ndarray:
+    """Kaldi-style triangular mel filterbank matrix (num_bins, n_fft_bins).
+
+    n_fft_bins = window_size_padded // 2 (nyquist bin excluded).
+    """
+    n_fft_bins = window_size_padded // 2
+    nyquist = 0.5 * sample_rate
+    if high_freq <= 0.0:
+        high_freq = nyquist + high_freq
+    assert 0.0 <= low_freq < high_freq <= nyquist
+
+    fft_bin_width = sample_rate / window_size_padded
+    mel_low = _mel_scale(low_freq)
+    mel_high = _mel_scale(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+
+    bins = np.zeros((num_bins, n_fft_bins), dtype=np.float32)
+    fft_freqs = _mel_scale(fft_bin_width * np.arange(n_fft_bins))
+    for m in range(num_bins):
+        left = mel_low + m * mel_delta
+        center = left + mel_delta
+        right = center + mel_delta
+        up = (fft_freqs - left) / (center - left)
+        down = (right - fft_freqs) / (right - center)
+        bins[m] = np.maximum(0.0, np.minimum(up, down))
+    return bins
+
+
+def povey_window(window_size: int) -> np.ndarray:
+    """Kaldi's 'povey' window: hann ** 0.85."""
+    n = np.arange(window_size)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (window_size - 1))
+    return (hann**0.85).astype(np.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sample_rate", "num_mel_bins", "frame_length", "frame_shift", "n_frames"
+    ),
+)
+def _fbank_impl(
+    waveform: jax.Array,
+    sample_rate: int,
+    num_mel_bins: int,
+    frame_length: int,
+    frame_shift: int,
+    n_frames: int,
+    preemphasis: float = 0.97,
+):
+    padded = int(2 ** np.ceil(np.log2(frame_length)))  # round_to_power_of_two
+
+    # frame extraction (snip_edges)
+    starts = jnp.arange(n_frames) * frame_shift
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    frames = waveform[idx]  # (n_frames, frame_length)
+
+    # remove DC offset per frame
+    frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+
+    # preemphasis: x[i] - k * x[i-1], first sample vs itself
+    prev = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+    frames = frames - preemphasis * prev
+
+    window = jnp.asarray(povey_window(frame_length))
+    frames = frames * window[None, :]
+
+    # power spectrum on the padded FFT, nyquist bin excluded
+    spec = jnp.fft.rfft(frames, n=padded, axis=1)
+    power = jnp.square(jnp.abs(spec))[:, : padded // 2]
+
+    banks = jnp.asarray(mel_banks(num_mel_bins, padded, float(sample_rate)))
+    mel = jnp.dot(
+        power, banks.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.log(jnp.maximum(mel, EPSILON))
+
+
+def fbank(
+    waveform: np.ndarray,
+    sample_rate: int = 16000,
+    num_mel_bins: int = 80,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+) -> np.ndarray:
+    """Compute (n_frames, num_mel_bins) log-mel features for one waveform.
+
+    Accepts (n,) or (channels, n) float arrays (first channel used),
+    mirroring the torchaudio kaldi entry point used by the reference.
+    """
+    waveform = np.asarray(waveform, dtype=np.float32)
+    if waveform.ndim == 2:
+        waveform = waveform[0]
+    frame_length = int(frame_length_ms * sample_rate / 1000)
+    frame_shift = int(frame_shift_ms * sample_rate / 1000)
+    n = waveform.shape[0]
+    n_frames = 0 if n < frame_length else 1 + (n - frame_length) // frame_shift
+    if n_frames == 0:
+        return np.zeros((0, num_mel_bins), dtype=np.float32)
+    out = _fbank_impl(
+        jnp.asarray(waveform), sample_rate, num_mel_bins, frame_length,
+        frame_shift, n_frames,
+    )
+    return np.asarray(out)

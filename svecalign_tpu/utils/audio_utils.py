@@ -1,0 +1,176 @@
+"""Audio IO, fbank distance, and the Segment wrapper.
+
+Audio decode/encode goes through the native C++ library in ``native/``
+(libvorbis-backed ogg decode + wav read/write; the image has no libsndfile
+or ffmpeg). Feature math (fbank) runs in XLA (:mod:`svecalign_tpu.ops.fbank`).
+
+Mirrors the reference contract (svecalign/utils/audio_utils.py): 16 kHz
+frames everywhere; ``find_untranslated_segs`` pairs each source segment with
+the nearest target segment by midpoint and flags it identical when duration
+difference and sliding-window fbank MSE are both below threshold.
+"""
+
+from pathlib import Path
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from svecalign_tpu.utils.log_utils import logging
+
+logger = logging.getLogger(__name__)
+
+SAMPLE_RATE = 16000
+
+
+def load_waveform(
+    path: Union[str, Path],
+    start: int = 0,
+    end: Optional[int] = None,
+    sr: int = SAMPLE_RATE,
+) -> np.ndarray:
+    """Read (a slice of) an audio file as float32 mono-or-multi waveform.
+
+    Supports .wav natively and .ogg via the native vorbis decoder.
+    ``start``/``end`` are frame offsets, matching soundfile.read semantics
+    in the reference (audio_utils.py:15-23).
+    """
+    from svecalign_tpu.utils import audio_io
+
+    waveform, _sr = audio_io.read(str(path), start=start, stop=end)
+    assert _sr == sr, f"Expected sample rate {sr} but got {_sr}"
+    return waveform
+
+
+def save_waveform(
+    waveform: np.ndarray,
+    target: Union[str, Path],
+    sr: int = SAMPLE_RATE,
+    overwrite_wav: bool = False,
+) -> None:
+    target = Path(target)
+    if target.exists() and not overwrite_wav:
+        return
+    from svecalign_tpu.utils import audio_io
+
+    audio_io.write(str(target), waveform, sr)
+
+
+def binary_search(arr: np.ndarray, target: float) -> int:
+    """Index of the element of sorted ``arr`` closest to ``target``.
+    (reference audio_utils.py:97-112)."""
+    _id = int(np.searchsorted(arr, target, sorter=None))
+    if _id == 0:
+        return _id
+    if _id == len(arr):
+        return _id - 1
+    left = arr[_id - 1]
+    right = arr[_id]
+    if abs(target - left) > abs(target - right):
+        return _id
+    return _id - 1
+
+
+def compute_fbank_dist(fbank1: np.ndarray, fbank2: np.ndarray) -> float:
+    """Min MSE over all offsets of the shorter fbank inside the longer.
+    (reference audio_utils.py:115-132). Vectorized: all windows at once.
+    """
+    if fbank1.shape[0] > fbank2.shape[0]:
+        fbank1, fbank2 = fbank2, fbank1
+
+    len1 = fbank1.shape[0]
+    len2 = fbank2.shape[0]
+    if len1 == 0:
+        return float("inf")
+    if len1 == len2:
+        return float(np.mean(np.square(fbank1 - fbank2)))
+
+    # sliding windows; note the reference iterates i in range(len2 - len1),
+    # i.e. the final offset is excluded — preserved here.
+    n_offsets = len2 - len1
+    best = float("inf")
+    for i in range(n_offsets):
+        mse = float(np.mean(np.square(fbank1 - fbank2[i : i + len1])))
+        best = min(best, mse)
+    return best
+
+
+class Segment:
+    """A (start, end) frame span of an audio file.
+    (reference audio_utils.py:154-203)."""
+
+    def __init__(self, start: int, end: int, path: Union[str, Path]):
+        assert end > start
+        self._start = start
+        self._end = end
+        path = Path(path)
+        assert path.exists()
+        self._path = path
+
+    @property
+    def start(self) -> int:
+        return self._start
+
+    @property
+    def end(self) -> int:
+        return self._end
+
+    @property
+    def path(self) -> Path:
+        return self._path
+
+    @property
+    def mid(self) -> float:
+        return (self._start + self._end) / 2
+
+    @property
+    def duration(self) -> int:
+        return self._end - self._start
+
+    @property
+    def waveform(self) -> np.ndarray:
+        return load_waveform(self._path, start=self._start, end=self._end)
+
+    def fbank(self, use_gpu: bool = False) -> np.ndarray:
+        # use_gpu kept for call-compat; XLA picks the device
+        from svecalign_tpu.ops.fbank import fbank as _fbank
+
+        wav = self.waveform
+        if wav.ndim == 2:  # (n, channels) -> first channel
+            wav = wav[:, 0]
+        return _fbank(wav, sample_rate=SAMPLE_RATE)
+
+    def save(self, path: str) -> None:
+        save_waveform(waveform=self.waveform, target=path)
+
+
+def find_untranslated_segs(
+    segments_1: List[Tuple[int, int]],
+    segments_2: List[Tuple[int, int]],
+    audio_1_path: Union[str, Path],
+    audio_2_path: Union[str, Path],
+    max_frame_diff: int,
+    fbank_dist_thres: float,
+) -> List[Tuple[int, int]]:
+    """Find identical (untranslated) segments between the two sides.
+    Returns (src_idx, tgt_idx) pairs. (reference audio_utils.py:38-94)."""
+    if len(segments_1) == 0 or len(segments_2) == 0:
+        return []
+
+    segs_1 = [Segment(s, e, audio_1_path) for s, e in segments_1]
+    segs_2 = [Segment(s, e, audio_2_path) for s, e in segments_2]
+
+    segs_2_mids = np.array([seg.mid for seg in segs_2], dtype=float)
+    assert np.all(segs_2_mids[:-1] < segs_2_mids[1:]), segs_2_mids
+
+    res = []
+    for i, src_seg in enumerate(segs_1):
+        closest_tgt_id = binary_search(segs_2_mids, src_seg.mid)
+        tgt_seg = segs_2[closest_tgt_id]
+
+        if abs(src_seg.duration - tgt_seg.duration) > max_frame_diff:
+            continue
+        fbank_dist = compute_fbank_dist(src_seg.fbank(), tgt_seg.fbank())
+        if fbank_dist > fbank_dist_thres:
+            continue
+        res.append((i, closest_tgt_id))
+    return res
