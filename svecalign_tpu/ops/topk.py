@@ -1,0 +1,252 @@
+"""TPU-native exact k-NN: batched matmul + top-k over (sharded) corpora.
+
+Replaces faiss-gpu (reference svecalign/utils/mining_utils.py:14-42,
+postprocess/score_align.py:118-161): similarities are one MXU matmul,
+selection is ``jax.lax.top_k``, and large corpora shard across devices with
+``shard_map`` — per-shard top-k then a gather+merge over ICI, instead of
+faiss' fp16-shard GPU search.
+
+Distance semantics match faiss IndexFlatL2 on L2-normalized vectors:
+``search`` returns squared-L2 distances ``||q||^2 + ||c||^2 - 2 q.c``
+(computed with true norms, not assuming exact unit vectors) so downstream
+margin code can keep the reference's ``cos = (2 - L2^2) / 2`` conversion.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def normalize_l2(x: np.ndarray) -> np.ndarray:
+    """In-place-style L2 normalization matching faiss.normalize_L2 (float32)."""
+    x = np.asarray(x, dtype=np.float32)
+    norms = np.sqrt(np.sum(x * x, axis=1, keepdims=True))
+    return x / np.where(norms == 0, 1.0, norms)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _search_dense(queries: Array, corpus: Array, corpus_sq: Array, k: int):
+    sims = jnp.dot(
+        queries,
+        corpus.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+    d2 = q_sq + corpus_sq[None, :] - 2.0 * sims
+    neg_d, idx = jax.lax.top_k(-d2, k)
+    return -neg_d, idx
+
+
+class FlatIndex:
+    """Exact (Flat) index: the whole corpus lives in device memory.
+
+    ``add`` accumulates vectors; ``search`` returns (squared L2, ids), both
+    shaped (n_queries, k) — the faiss IndexFlatL2 contract.
+    """
+
+    def __init__(self, dim: int = 1024):
+        self.dim = dim
+        self._chunks = []
+
+    @property
+    def ntotal(self) -> int:
+        return sum(c.shape[0] for c in self._chunks)
+
+    def add(self, vectors: np.ndarray) -> None:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        assert vectors.shape[1] == self.dim
+        self._chunks.append(vectors)
+
+    @property
+    def corpus(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        if len(self._chunks) > 1:
+            self._chunks = [np.concatenate(self._chunks, axis=0)]
+        return self._chunks[0]
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        corpus = jnp.asarray(self.corpus)
+        corpus_sq = jnp.sum(corpus * corpus, axis=1)
+        k = min(k, self.ntotal)
+        d2, idx = _search_dense(jnp.asarray(queries, dtype=jnp.float32), corpus, corpus_sq, k)
+        return np.asarray(d2), np.asarray(idx)
+
+
+def sharded_search(
+    queries: np.ndarray,
+    corpus: np.ndarray,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact k-NN with the corpus sharded row-wise across a device mesh.
+
+    Each device holds one corpus shard (HBM-resident), computes its local
+    matmul + top-k, then the per-shard candidates are gathered over ICI and
+    re-reduced — the TPU equivalent of faiss' ``fp16-shard`` multi-GPU
+    search (reference score_align.py:48-49,205-217).
+    """
+    if mesh is None:
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices, (axis,))
+
+    n_dev = mesh.devices.size
+    n, d = corpus.shape
+    k = min(k, n)
+    pad = (-n) % n_dev
+    corpus_p = np.pad(corpus, ((0, pad), (0, 0)))
+    # padded rows get +inf distance via a validity mask
+    valid = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+
+    queries = jnp.asarray(queries, dtype=jnp.float32)
+    shard = NamedSharding(mesh, P(axis, None))
+    corpus_j = jax.device_put(jnp.asarray(corpus_p), shard)
+    valid_j = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P(axis)))
+
+    per_shard = corpus_p.shape[0] // n_dev
+    kk = min(k, per_shard)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def local_topk(q, c_shard, v_shard):
+        sims = jnp.dot(
+            q, c_shard.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+        c_sq = jnp.sum(c_shard * c_shard, axis=1)
+        d2 = q_sq + c_sq[None, :] - 2.0 * sims
+        d2 = jnp.where(v_shard[None, :] > 0, d2, jnp.inf)
+        neg_d, idx = jax.lax.top_k(-d2, kk)
+        # global ids: offset by this shard's position
+        offset = jax.lax.axis_index(axis) * per_shard
+        return -neg_d + 0.0, idx + offset
+
+    d_all, i_all = local_topk(queries, corpus_j, valid_j)  # (n_dev*nq, kk) stacked? -> out specs P(axis)
+    # out_specs P(axis) stacks shard outputs along axis 0: (n_dev * nq, kk)
+    nq = queries.shape[0]
+    d_all = np.asarray(d_all).reshape(n_dev, nq, kk).transpose(1, 0, 2).reshape(nq, n_dev * kk)
+    i_all = np.asarray(i_all).reshape(n_dev, nq, kk).transpose(1, 0, 2).reshape(nq, n_dev * kk)
+
+    # final merge on host (tiny): global top-k over the n_dev*kk candidates
+    order = np.argsort(d_all, axis=1, kind="stable")[:, :k]
+    rows = np.arange(nq)[:, None]
+    return d_all[rows, order], i_all[rows, order]
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + nprobe search (approximate, for the
+# tens-of-millions regime where a dense matmul per query batch is wasteful)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _kmeans_iter(data: Array, centroids: Array, n_iter: int):
+    def step(c, _):
+        sims = jnp.dot(
+            data, c.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        assign = jnp.argmax(sims, axis=1)
+        one_hot = jax.nn.one_hot(assign, c.shape[0], dtype=jnp.float32)
+        sums = jnp.dot(one_hot.T, data, preferred_element_type=jnp.float32)
+        counts = jnp.sum(one_hot, axis=0)[:, None]
+        new_c = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), c)
+        norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
+        new_c = new_c / jnp.maximum(norms, 1e-12)
+        return new_c, None
+
+    out, _ = jax.lax.scan(step, centroids, None, length=n_iter)
+    return out
+
+
+class IVFIndex:
+    """Inverted-file index: k-means centroids + per-list storage.
+
+    Training (Lloyd iterations) and search (centroid matmul -> probe lists
+    -> exact top-k within the probed subset) both run on device.
+    """
+
+    def __init__(self, dim: int = 1024, nlist: int = 1024, nprobe: int = 128):
+        self.dim = dim
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.centroids: Optional[np.ndarray] = None
+        self._vectors = np.zeros((0, dim), dtype=np.float32)
+        self._assignments = np.zeros((0,), dtype=np.int64)
+
+    @property
+    def ntotal(self) -> int:
+        return self._vectors.shape[0]
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None
+
+    def train(self, sample: np.ndarray, n_iter: int = 10, seed: int = 42) -> None:
+        sample = np.asarray(sample, dtype=np.float32)
+        rng = np.random.default_rng(seed)
+        nlist = min(self.nlist, sample.shape[0])
+        init = sample[rng.choice(sample.shape[0], size=nlist, replace=False)]
+        self.centroids = np.asarray(
+            _kmeans_iter(jnp.asarray(sample), jnp.asarray(init), n_iter)
+        )
+        self.nlist = nlist
+
+    def add(self, vectors: np.ndarray) -> None:
+        assert self.is_trained, "train the index before adding vectors"
+        vectors = np.asarray(vectors, dtype=np.float32)
+        sims = np.asarray(
+            jnp.dot(jnp.asarray(vectors), jnp.asarray(self.centroids).T)
+        )
+        assign = sims.argmax(axis=1)
+        self._vectors = np.concatenate([self._vectors, vectors])
+        self._assignments = np.concatenate([self._assignments, assign])
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, dtype=np.float32)
+        nprobe = min(self.nprobe, self.nlist)
+        c_sims = np.asarray(
+            jnp.dot(jnp.asarray(queries), jnp.asarray(self.centroids).T)
+        )
+        probe = np.argsort(-c_sims, axis=1)[:, :nprobe]  # (nq, nprobe)
+
+        # gather the union of probed lists per query on host, exact search
+        # per query over its probed subset (host loop; fine for mining-scale
+        # query batches — each batch is one document pair's alignments)
+        d_out = np.full((queries.shape[0], k), np.inf, dtype=np.float32)
+        i_out = np.full((queries.shape[0], k), -1, dtype=np.int64)
+        order = np.argsort(self._assignments, kind="stable")
+        sorted_assign = self._assignments[order]
+        starts = np.searchsorted(sorted_assign, np.arange(self.nlist))
+        ends = np.searchsorted(sorted_assign, np.arange(self.nlist), side="right")
+        for qi in range(queries.shape[0]):
+            ids = np.concatenate(
+                [order[starts[l] : ends[l]] for l in probe[qi]]
+            ) if len(probe[qi]) else np.zeros(0, np.int64)
+            if ids.size == 0:
+                continue
+            sub = self._vectors[ids]
+            d2 = (
+                np.sum(queries[qi] ** 2)
+                + np.sum(sub * sub, axis=1)
+                - 2.0 * sub @ queries[qi]
+            )
+            kk = min(k, ids.size)
+            sel = np.argpartition(d2, kk - 1)[:kk]
+            sel = sel[np.argsort(d2[sel], kind="stable")]
+            d_out[qi, :kk] = d2[sel]
+            i_out[qi, :kk] = ids[sel]
+        return d_out, i_out

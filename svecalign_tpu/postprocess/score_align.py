@@ -1,0 +1,165 @@
+"""Stage 6.7 — margin-score alignments with the per-language k-NN indexes.
+
+For each pair: load src/tgt embeddings from the pointer tsvs, L2-normalize,
+k-NN search (k=16) each side against the OTHER language's index, and score
+``margin = cos(x, y) / ((avg_kNN_xy + avg_kNN_yx) / 2)`` (ratio; or the
+distance variant). L2^2 -> cosine uses ``cos = (2 - L2^2) / 2``. The per-row
+margin loop of the reference becomes one vectorized op. (Reference
+svecalign/postprocess/score_align.py — faiss replaced by ops/topk.py.)
+
+CLI: ``python -m svecalign_tpu.postprocess.score_align METADATA OUT_DIR
+--embed_dir E --align_dir A --src_lang S --tgt_lang T --index_dir I
+[--num_probe 128] [--embed_fp16] [--embed_stopes] [--margin ratio] [--k 16]``
+"""
+
+import argparse
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+from svecalign_tpu.ops.topk import normalize_l2
+from svecalign_tpu.postprocess.prep_index import load_embed_from_tsv
+from svecalign_tpu.utils.file_utils import read_alignments, read_metadata
+from svecalign_tpu.utils.index_utils import load_index
+from svecalign_tpu.utils.log_utils import logging, my_tqdm
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("metadata", type=str,
+                        help="the meta file that each line contains paired audio paths")
+    parser.add_argument("out_dir", type=str,
+                        help="dir to store the margin-scored alignments.")
+    parser.add_argument("--embed_dir", type=str, required=True,
+                        help="the dir for embedding tsvs.")
+    parser.add_argument("--align_dir", type=str, required=True,
+                        help="the dir for concatenated alignments.")
+    parser.add_argument("--src_lang", type=str, required=True)
+    parser.add_argument("--tgt_lang", type=str, required=True)
+    parser.add_argument("--index_dir", type=str, required=True,
+                        help="where the indexes are saved.")
+    parser.add_argument("--num_probe", type=int, default=128)
+    parser.add_argument("--gpu_type", type=str, default="fp16-shard",
+                        help="accepted for CLI parity; sharding is decided by the device mesh.")
+    parser.add_argument("--embed_fp16", action="store_true", default=False)
+    parser.add_argument("--embed_stopes", action="store_true", default=False)
+    parser.add_argument("--margin", type=str, default="ratio",
+                        help="Margin for xSIM calculation: ratio or distance.")
+    parser.add_argument("--k", type=int, default=16, help="number of nearest neighbors.")
+    return parser.parse_args()
+
+
+def find_valid_metas(meta: List[Tuple[str, str]], embed_dir: Path) -> List[str]:
+    res = []
+    for src_aud, tgt_aud in meta:
+        src_id = Path(src_aud).stem
+        tgt_id = Path(tgt_aud).stem
+        src_tsv = embed_dir / f"{src_id}-{tgt_id}.src.tsv"
+        tgt_tsv = embed_dir / f"{src_id}-{tgt_id}.tgt.tsv"
+        if src_tsv.exists() and tgt_tsv.exists():
+            res.append(f"{src_id}-{tgt_id}")
+        elif not src_tsv.exists() and not tgt_tsv.exists():
+            logger.warning(f"{src_tsv} and {tgt_tsv} not exist")
+        else:
+            raise Exception(f"{src_tsv}: {src_tsv.exists()} | {tgt_tsv}: {tgt_tsv.exists()}")
+    logger.info(f"Kept {len(res)}/{len(meta)}")
+    return res
+
+
+def write_to_output(
+    align_dir: Path, align_ids: List[str], margin_scores: np.ndarray, out_dir: Path
+) -> None:
+    margin_id = 0
+    for ali_id in align_ids:
+        alignments = read_alignments(align_dir / f"{ali_id}.txt")
+        with open(out_dir / f"{ali_id}.txt", mode="w") as fp:
+            for src, tgt in alignments:
+                fp.write(f"{src}:{tgt}:{margin_scores[margin_id]}\n")
+                margin_id += 1
+    assert margin_id == margin_scores.shape[0], f"{margin_id}, {margin_scores.shape}"
+
+
+def l2_sq_to_cosine(x: np.ndarray) -> np.ndarray:
+    """cos = (2 - L2^2) / 2 for unit vectors (reference score_align.py:118-121)."""
+    return (2.0 - x) / 2.0
+
+
+def compute_margin(
+    idx_x, idx_y, x: np.ndarray, y: np.ndarray, k: int, margin: str
+) -> np.ndarray:
+    """Margin scores for row-paired (x_i, y_i); both sides search the other
+    language's index. Vectorized version of reference score_align.py:124-161."""
+    num_x, dim_x = x.shape
+    num_y, dim_y = y.shape
+    assert num_x == num_y and dim_x == dim_y, f"{x.shape} {y.shape}"
+
+    x = normalize_l2(x)
+    y = normalize_l2(y)
+
+    l2_xy, _ = idx_y.search(x, k)  # (num_x, k)
+    l2_yx, _ = idx_x.search(y, k)
+
+    avg_xy = l2_sq_to_cosine(l2_xy.mean(axis=1))
+    avg_yx = l2_sq_to_cosine(l2_yx.mean(axis=1))
+
+    a = np.einsum("nd,nd->n", x, y)
+    b = (avg_xy + avg_yx) / 2.0
+    if margin == "ratio":
+        return (a / b).astype(np.float32)
+    if margin == "distance":
+        return (a - b).astype(np.float32)
+    raise ValueError(f"Wrong margin type: {margin}")
+
+
+def main():
+    args = parse_args()
+    logger.info(args)
+
+    all_pairs = read_metadata(args.metadata)
+    logger.info(f"fp16: {args.embed_fp16} | stopes: {args.embed_stopes}")
+    logger.info(f"margin: {args.margin} | k: {args.k}")
+
+    src_lang, tgt_lang = args.src_lang, args.tgt_lang
+    embed_dir = Path(args.embed_dir) / f"{src_lang}-{tgt_lang}"
+    align_dir = Path(args.align_dir) / f"{src_lang}-{tgt_lang}"
+
+    out_dir = Path(args.out_dir) / f"{src_lang}-{tgt_lang}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    metas = find_valid_metas(all_pairs, embed_dir)
+    del all_pairs
+
+    index_dir = Path(args.index_dir) / f"{src_lang}-{tgt_lang}"
+    src_index_path = list((index_dir / src_lang).glob("*.populate.idx"))[0]
+    tgt_index_path = list((index_dir / tgt_lang).glob("*.populate.idx"))[0]
+
+    logger.info(f"Loading {src_index_path}")
+    src_index = load_index(src_index_path, nprobe=args.num_probe)
+    logger.info(f"Loading {tgt_index_path}")
+    tgt_index = load_index(tgt_index_path, nprobe=args.num_probe)
+
+    margin_scores = []
+    for align_id in my_tqdm(metas):
+        src_embed = load_embed_from_tsv(
+            embed_dir / f"{align_id}.src.tsv",
+            fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
+        )
+        tgt_embed = load_embed_from_tsv(
+            embed_dir / f"{align_id}.tgt.tsv",
+            fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
+        )
+        margin_scores.append(
+            compute_margin(src_index, tgt_index, src_embed, tgt_embed, args.k, args.margin)
+        )
+    margin_scores = np.concatenate(margin_scores, axis=0)
+
+    logger.info(f"Writing to {out_dir}...")
+    write_to_output(align_dir, metas, margin_scores, out_dir)
+    logger.info("Done!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Tests for the TPU k-NN engine (faiss replacement) and index IO."""
+
+import numpy as np
+import pytest
+
+from svecalign_tpu.ops.topk import FlatIndex, IVFIndex, normalize_l2, sharded_search
+from svecalign_tpu.utils.index_utils import (
+    determine_index_type,
+    load_index,
+    read_flat_index,
+    write_flat_index,
+    write_ivf_index,
+)
+
+
+def _random_corpus(rng, n, d=64):
+    return normalize_l2(rng.standard_normal((n, d)).astype(np.float32))
+
+
+def test_flat_search_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    corpus = _random_corpus(rng, 500)
+    queries = _random_corpus(rng, 20)
+
+    idx = FlatIndex(dim=64)
+    idx.add(corpus)
+    d2, ids = idx.search(queries, 8)
+
+    # numpy oracle
+    full = (
+        np.sum(queries**2, axis=1, keepdims=True)
+        + np.sum(corpus**2, axis=1)[None]
+        - 2 * queries @ corpus.T
+    )
+    ref_ids = np.argsort(full, axis=1, kind="stable")[:, :8]
+    rows = np.arange(20)[:, None]
+    np.testing.assert_allclose(d2, full[rows, ref_ids], rtol=1e-4, atol=1e-5)
+    # id sets must match (order can differ on fp ties)
+    for r in range(20):
+        assert set(ids[r]) == set(ref_ids[r])
+
+
+def test_self_is_nearest():
+    rng = np.random.default_rng(1)
+    corpus = _random_corpus(rng, 100)
+    idx = FlatIndex(dim=64)
+    idx.add(corpus)
+    d2, ids = idx.search(corpus[:10], 1)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(10))
+    assert np.all(d2[:, 0] < 1e-5)
+
+
+def test_sharded_search_matches_flat():
+    import jax
+
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    rng = np.random.default_rng(2)
+    corpus = _random_corpus(rng, 333)  # deliberately not divisible by 8
+    queries = _random_corpus(rng, 17)
+
+    idx = FlatIndex(dim=64)
+    idx.add(corpus)
+    d_ref, i_ref = idx.search(queries, 10)
+    d_got, i_got = sharded_search(queries, corpus, 10)
+
+    np.testing.assert_allclose(d_got, d_ref, rtol=1e-4, atol=1e-5)
+    for r in range(17):
+        assert set(i_got[r]) == set(i_ref[r])
+
+
+def test_ivf_full_probe_matches_flat():
+    rng = np.random.default_rng(3)
+    corpus = _random_corpus(rng, 400)
+    queries = _random_corpus(rng, 10)
+
+    flat = FlatIndex(dim=64)
+    flat.add(corpus)
+    d_ref, i_ref = flat.search(queries, 5)
+
+    ivf = IVFIndex(dim=64, nlist=16, nprobe=16)  # probe all lists = exact
+    ivf.train(corpus[:200])
+    ivf.add(corpus)
+    d_got, i_got = ivf.search(queries, 5)
+
+    np.testing.assert_allclose(d_got, d_ref, rtol=1e-4, atol=1e-5)
+    for r in range(10):
+        assert set(i_got[r]) == set(i_ref[r])
+
+
+def test_ivf_partial_probe_recall():
+    rng = np.random.default_rng(4)
+    corpus = _random_corpus(rng, 2000)
+    queries = corpus[:50] + 0.01 * rng.standard_normal((50, 64)).astype(np.float32)
+
+    flat = FlatIndex(dim=64)
+    flat.add(corpus)
+    _, i_ref = flat.search(queries, 1)
+
+    ivf = IVFIndex(dim=64, nlist=64, nprobe=8)
+    ivf.train(corpus)
+    ivf.add(corpus)
+    _, i_got = ivf.search(queries, 1)
+    recall = np.mean(i_got[:, 0] == i_ref[:, 0])
+    assert recall >= 0.9, recall
+
+
+def test_faiss_flat_format_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    corpus = _random_corpus(rng, 37, 1024)
+    path = tmp_path / "Flat.populate.idx"
+    write_flat_index(corpus, path)
+    back = read_flat_index(path)
+    np.testing.assert_array_equal(back, corpus)
+
+    idx = load_index(path)
+    assert isinstance(idx, FlatIndex) and idx.ntotal == 37
+
+
+def test_reads_committed_faiss_index(example_dir):
+    """Byte-level interop: parse the index written by real faiss."""
+    corpus = read_flat_index(
+        example_dir / "align_0.7_clean_cat3_min1s_embed_indexes/en-de/en/Flat.populate.idx"
+    )
+    assert corpus.shape == (347, 1024)
+    norms = np.linalg.norm(corpus, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_ivf_format_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    corpus = _random_corpus(rng, 300)
+    ivf = IVFIndex(dim=64, nlist=8, nprobe=8)
+    ivf.train(corpus)
+    ivf.add(corpus)
+    path = tmp_path / "IVF8.populate.idx.npz"
+    write_ivf_index(ivf, path)
+    back = load_index(path)
+    d1, i1 = ivf.search(corpus[:5], 3)
+    d2, i2 = back.search(corpus[:5], 3)
+    np.testing.assert_allclose(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_determine_index_type():
+    assert determine_index_type(347) == "Flat"
+    assert determine_index_type(1_000_000) == "IVF4096"
+    assert determine_index_type(10_000_000) == "IVF65536"
+    assert determine_index_type(100_000_000) == "IVF262144"
+
+
+def test_margin_scoring_matches_reference_semantics():
+    """Vectorized margin vs a literal transcription of the reference's
+    per-row formula (score_align.py:124-161)."""
+    from svecalign_tpu.postprocess.score_align import compute_margin
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((40, 64)).astype(np.float32)
+    y = rng.standard_normal((40, 64)).astype(np.float32)
+
+    ix = FlatIndex(dim=64)
+    ix.add(normalize_l2(x))
+    iy = FlatIndex(dim=64)
+    iy.add(normalize_l2(y))
+
+    got = compute_margin(ix, iy, x.copy(), y.copy(), k=4, margin="ratio")
+
+    xn, yn = normalize_l2(x), normalize_l2(y)
+    l2xy, _ = iy.search(xn, 4)
+    l2yx, _ = ix.search(yn, 4)
+    want = np.empty(40, np.float32)
+    for i in range(40):
+        a = float(np.dot(xn[i], yn[i]))
+        b = ((2 - l2xy[i].mean()) / 2 + (2 - l2yx[i].mean()) / 2) / 2
+        want[i] = a / b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
