@@ -1,0 +1,135 @@
+"""Benchmark: align the example doc pair end-to-end; print ONE JSON line.
+
+Metric: doc-pairs aligned per hour per chip (full coarse-to-fine alignment
+of the committed example/voxpopuli en-de pair, including host traceback and
+all cost/DP levels). ``vs_baseline``: speedup vs a sequential numpy
+implementation with the reference's kernel semantics (tests/oracle.py) run
+on this host over the same shapes — the stand-in for the reference's
+single-thread Cython CPU path (the reference publishes no speed numbers;
+BASELINE.md).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+EXAMPLE = Path("/root/reference/example/voxpopuli")
+STEM = "20180313-0900-PLENARY-15"
+
+
+def run_align(n_iters: int = 3):
+    from svecalign_tpu.utils.embedding_utils import make_doc_embedding, read_in_embeddings
+    from svecalign_tpu.vecalign.pyramid import vecalign
+    from svecalign_tpu.vecalign.vecalign import make_alignment_types
+
+    src_sent2id, src_emb = read_in_embeddings(
+        str(EXAMPLE / f"cat_segs/en/{STEM}_en.txt"),
+        str(EXAMPLE / f"embeds/en/{STEM}_en.embed"),
+        use_stopes=True,
+    )
+    tgt_sent2id, tgt_emb = read_in_embeddings(
+        str(EXAMPLE / f"cat_segs/de/{STEM}_de.txt"),
+        str(EXAMPLE / f"embeds/de/{STEM}_de.embed"),
+        use_stopes=True,
+    )
+    src_lines = open(EXAMPLE / f"segments/en/{STEM}_en.txt").readlines()
+    tgt_lines = open(EXAMPLE / f"segments/de/{STEM}_de.txt").readlines()
+
+    v0 = make_doc_embedding(src_sent2id, src_emb, src_lines, 5, overlap_segments=True)
+    v1 = make_doc_embedding(tgt_sent2id, tgt_emb, tgt_lines, 5, overlap_segments=True)
+    types = make_alignment_types(6)
+
+    kwargs = dict(
+        final_alignment_types=types,
+        del_percentile_frac=0.2,
+        width_over2=8,
+        max_size_full_dp=300,
+        costs_sample_size=20000,
+        num_samps_for_norm=100,
+    )
+
+    stack = vecalign(v0.copy(), v1.copy(), **kwargs)  # warmup (compiles)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        stack = vecalign(v0.copy(), v1.copy(), **kwargs)
+    elapsed = (time.perf_counter() - t0) / n_iters
+    return stack, elapsed, (v0, v1)
+
+
+def run_oracle_baseline(stack, v0, v1) -> float:
+    """Time the numpy reference-semantics kernels over the same shapes."""
+    from tests import oracle
+    from svecalign_tpu.vecalign.traceback import dense_traceback, sparse_traceback
+
+    depths = sorted(stack.keys())
+    max_depth = depths[-1]
+    t0 = time.perf_counter()
+
+    # dense level
+    mv0 = np.asarray(stack[max_depth]["v0"])
+    mv1 = np.asarray(stack[max_depth]["v1"])
+    n0 = np.asarray(stack[max_depth]["n0"])
+    n1 = np.asarray(stack[max_depth]["n1"])
+    costs = oracle.dense_costs_oracle(mv0[0], mv1[0], n0[0], n1[0])
+    _, bp = oracle.dense_dp_oracle(costs, stack[max_depth]["del_penalty"])
+    dense_traceback(bp)
+
+    # banded levels over the recorded search paths
+    for depth in reversed(range(0, max_depth + 1)):
+        if "searchpath" not in stack[depth]:
+            continue
+        types = stack[depth]["alignment_types"]
+        w2 = (np.asarray(stack[depth]["a_b_costs"]).shape[2]) // 2
+        feats, b_off = oracle.banded_costs_oracle(
+            np.asarray(stack[depth]["v0"]),
+            np.asarray(stack[depth]["v1"]),
+            np.asarray(stack[depth]["n0"]),
+            np.asarray(stack[depth]["n1"]),
+            stack[depth]["searchpath"],
+            types,
+            w2,
+        )
+        csum, xp, yp, boff_out = oracle.banded_dp_oracle(
+            feats, b_off, types, stack[depth]["del_penalty"],
+            stack[depth]["size0"], stack[depth]["size1"],
+        )
+        sparse_traceback(csum, xp, yp, boff_out, stack[depth]["size0"], stack[depth]["size1"])
+
+    return time.perf_counter() - t0
+
+
+def main():
+    stack, ours, (v0, v1) = run_align()
+    baseline = run_oracle_baseline(stack, v0, v1)
+
+    # DP cells/sec: total banded cells (types x A x B) + dense cells, per second
+    cells = 0
+    for depth, entry in stack.items():
+        if "a_b_costs" in entry:
+            cells += int(np.prod(np.asarray(entry["a_b_costs"]).shape))
+        if "costs_1to1" in entry:
+            cells += int(np.prod(np.asarray(entry["costs_1to1"]).shape))
+
+    import jax
+
+    result = {
+        "metric": "doc_pairs_aligned_per_hour_per_chip",
+        "value": round(3600.0 / ours, 2),
+        "unit": "doc-pairs/hour/chip",
+        "vs_baseline": round(baseline / ours, 3),
+        "align_seconds_per_pair": round(ours, 4),
+        "baseline_numpy_seconds_per_pair": round(baseline, 4),
+        "dp_cells_per_sec": round(cells / ours, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""SpeechLASER-equivalent speech encoder in JAX/flax.
+
+The reference embeds speech segments with a fairseq wav2vec2-based
+SpeechLASER checkpoint via stopes ``LaserFileAudioEncoder`` (reference
+svecalign/utils/embed_model_utils.py:59-99); the output contract is a
+max-pooled 1024-dim embedding per segment, written as fp16 .npy.
+
+This is a from-scratch TPU implementation of the same architecture family:
+raw 16 kHz waveform -> strided conv feature extractor (320x downsample) ->
+transformer encoder with convolutional relative positional embedding ->
+masked max-pool over time -> 1024-dim vector. Weights load from an .npz
+(use tools/convert_torch_ckpt.py to export a torch checkpoint); random
+init otherwise (useful for pipeline plumbing and benchmarks).
+
+TPU-first details: whole batches run as one jit program in bfloat16
+matmuls with fp32 accumulation; batches are bucketed by length with a
+padding mask so XLA sees a small set of static shapes; data parallelism is
+one ``jax.sharding`` constraint over the batch axis (see
+svecalign_tpu/parallel/mesh.py).
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svecalign_tpu.utils.jax_setup import setup_jax
+from svecalign_tpu.utils.log_utils import logging
+
+setup_jax()
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class LaserEncoderConfig:
+    # conv feature extractor: (dim, kernel, stride) per layer; 320x total
+    conv_layers: tuple = (
+        (512, 10, 5),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 2, 2),
+        (512, 2, 2),
+    )
+    encoder_dim: int = 1024
+    encoder_layers: int = 12
+    encoder_heads: int = 16
+    encoder_ffn_dim: int = 4096
+    conv_pos_kernel: int = 128
+    conv_pos_groups: int = 16
+    dtype: str = "bfloat16"  # compute dtype; params stay fp32
+
+
+class ConvFeatureExtractor(nn.Module):
+    config: LaserEncoderConfig
+
+    @nn.compact
+    def __call__(self, waveform: jax.Array) -> jax.Array:
+        """(B, T) -> (B, frames, conv_dim)."""
+        x = waveform[:, :, None]
+        dtype = jnp.dtype(self.config.dtype)
+        for i, (dim, kernel, stride) in enumerate(self.config.conv_layers):
+            x = nn.Conv(
+                features=dim,
+                kernel_size=(kernel,),
+                strides=(stride,),
+                use_bias=False,
+                padding="VALID",
+                dtype=dtype,
+                name=f"conv_{i}",
+            )(x)
+            if i == 0:
+                x = nn.GroupNorm(num_groups=dim, dtype=jnp.float32, name="group_norm")(x)
+            x = nn.gelu(x)
+        return x
+
+
+class TransformerLayer(nn.Module):
+    config: LaserEncoderConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        attn_mask = mask[:, None, None, :]  # (B, 1, 1, T)
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="attn_norm")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.encoder_heads,
+            dtype=dtype,
+            deterministic=True,
+            name="attn",
+        )(y, y, mask=attn_mask)
+        x = x + y
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="ffn_norm")(x)
+        y = nn.Dense(cfg.encoder_ffn_dim, dtype=dtype, name="ffn_in")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(cfg.encoder_dim, dtype=dtype, name="ffn_out")(y)
+        return x + y
+
+
+class LaserSpeechEncoder(nn.Module):
+    """wav2vec2-style encoder with LASER max-pooling."""
+
+    config: LaserEncoderConfig = LaserEncoderConfig()
+
+    @nn.compact
+    def __call__(self, waveform: jax.Array, lengths: jax.Array) -> jax.Array:
+        """waveform: (B, T) float32 @16 kHz; lengths: (B,) valid samples.
+        Returns (B, encoder_dim) float32 embeddings."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+
+        feats = ConvFeatureExtractor(cfg, name="feature_extractor")(waveform)
+        n_frames = feats.shape[1]
+
+        # frame-level validity from sample lengths (320x downsample, VALID)
+        ds = np.prod([s for _, _, s in cfg.conv_layers])
+        recep = 0
+        size = 1
+        for _, k, s in reversed(cfg.conv_layers):
+            size = (size - 1) * s + k
+        frame_len = (lengths - size) // ds + 1
+        frame_ids = jnp.arange(n_frames)[None, :]
+        mask = frame_ids < jnp.maximum(frame_len, 1)[:, None]  # (B, frames)
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="post_extract_norm")(feats)
+        x = nn.Dense(cfg.encoder_dim, dtype=dtype, name="post_extract_proj")(x)
+
+        # convolutional relative positional embedding
+        pos = nn.Conv(
+            features=cfg.encoder_dim,
+            kernel_size=(cfg.conv_pos_kernel,),
+            padding=[(cfg.conv_pos_kernel // 2, cfg.conv_pos_kernel // 2)],
+            feature_group_count=cfg.conv_pos_groups,
+            dtype=dtype,
+            name="pos_conv",
+        )(x)
+        pos = nn.gelu(pos[:, : x.shape[1], :])
+        x = x + pos
+        x = nn.LayerNorm(dtype=jnp.float32, name="encoder_norm")(x)
+
+        for i in range(cfg.encoder_layers):
+            x = TransformerLayer(cfg, name=f"layer_{i}")(x, mask)
+
+        # LASER pooling: masked max over time
+        neg = jnp.finfo(jnp.float32).min
+        x = jnp.where(mask[:, :, None], x.astype(jnp.float32), neg)
+        return jnp.max(x, axis=1)
+
+
+class SpeechLaserModel:
+    """Host-side wrapper: init/load params, bucket batches, run jit forward.
+
+    Mirrors the role of stopes LaserFileAudioEncoder but slices segments in
+    memory and feeds device buffers directly (no /tmp wav round trip —
+    reference embed_model_utils.py:137-175 is deleted by design).
+    """
+
+    # length buckets (samples @16 kHz); segments pad up to the next bucket.
+    # Few buckets on purpose: each distinct shape is one (slow, remote) XLA
+    # compile, while padded compute is nearly free at these batch sizes.
+    BUCKETS = (4 * 16000, 20 * 16000, 30 * 16000)
+
+    def __init__(
+        self,
+        config: LaserEncoderConfig = LaserEncoderConfig(),
+        ckpt_path: Optional[str] = None,
+        max_tokens: int = 150 * 16000,
+        seed: int = 0,
+        mesh=None,
+    ):
+        self.config = config
+        self.model = LaserSpeechEncoder(config)
+        self.max_tokens = max_tokens
+        self.mesh = mesh
+
+        if ckpt_path:
+            self.params = self.load_params(ckpt_path)
+            logger.info(f"Loaded encoder params from {ckpt_path}")
+        else:
+            # numpy-based init: avoids compiling the (large) XLA init
+            # program; random weights are only for plumbing/benchmarks
+            self.params = self._numpy_init(seed)
+            logger.warning(
+                "Encoder initialized with RANDOM weights (no --ckpt given); "
+                "embeddings are not meaningful for mining."
+            )
+        # keep params resident on the default (TPU) device — repeated
+        # host->device transfer of the full tree dwarfs the forward pass
+        self.params = jax.device_put(self.params)
+
+        self._forward = jax.jit(self.model.apply)
+
+    def _numpy_init(self, seed: int):
+        from svecalign_tpu.models.param_utils import numpy_init
+
+        return numpy_init(
+            self.model,
+            (jnp.zeros((1, self.BUCKETS[0]), jnp.float32), jnp.zeros((1,), jnp.int32)),
+            seed,
+        )
+
+    @staticmethod
+    def load_params(path: str):
+        from svecalign_tpu.models.param_utils import load_params_npz
+
+        return load_params_npz(path)
+
+    def save_params(self, path: str) -> None:
+        from svecalign_tpu.models.param_utils import save_params_npz
+
+        save_params_npz(self.params, path)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BUCKETS:
+            if n <= b:
+                return b
+        return self.BUCKETS[-1]
+
+    def _rows_for_bucket(self, bucket: int) -> int:
+        return max(1, self.max_tokens // bucket)
+
+    def encode(self, waveforms) -> np.ndarray:
+        """Encode a list of 1-D float32 waveforms -> (N, dim) float32.
+
+        Buckets by length and pads every batch to a FIXED (rows, bucket)
+        shape per bucket, so XLA compiles exactly one program per bucket
+        (padding rows have length 0 and are discarded).
+        """
+        out = np.zeros((len(waveforms), self.config.encoder_dim), dtype=np.float32)
+
+        by_bucket: dict = {}
+        for i, w in enumerate(waveforms):
+            w = np.asarray(w, dtype=np.float32)
+            if w.ndim == 2:
+                w = w[:, 0]
+            by_bucket.setdefault(self._bucket(len(w)), []).append((i, w))
+
+        for bucket, items in sorted(by_bucket.items()):
+            rows = self._rows_for_bucket(bucket)
+            for chunk_start in range(0, len(items), rows):
+                chunk = items[chunk_start : chunk_start + rows]
+                padded = np.zeros((rows, bucket), dtype=np.float32)
+                lengths = np.zeros((rows,), dtype=np.int32)
+                for row, (_, w) in enumerate(chunk):
+                    w = w[:bucket]
+                    padded[row, : len(w)] = w
+                    lengths[row] = len(w)
+                emb = self._forward(
+                    self.params, jnp.asarray(padded), jnp.asarray(lengths)
+                )
+                emb = np.asarray(emb, dtype=np.float32)
+                for row, (i, _) in enumerate(chunk):
+                    out[i] = emb[row]
+        return out

@@ -1,0 +1,50 @@
+"""Parameter init/IO helpers shared by the JAX models.
+
+``numpy_init`` builds a parameter tree from ``jax.eval_shape`` without
+compiling the XLA init program — on the tunneled TPU backend every compile
+costs tens of seconds, and random weights don't need device RNG anyway.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def numpy_init(model, example_args: Tuple, seed: int = 0):
+    """Initialize a flax model's params with numpy: kernels ~ N(0, 1/fan_in),
+    biases 0, norm scales 1."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(seed), *example_args)
+    rng = np.random.default_rng(seed)
+    flat = flatten_dict(shapes["params"])
+    out = {}
+    for path, leaf in flat.items():
+        name = path[-1]
+        if name == "scale":
+            val = np.ones(leaf.shape, np.float32)
+        elif name == "bias":
+            val = np.zeros(leaf.shape, np.float32)
+        else:
+            fan_in = int(np.prod(leaf.shape[:-1])) or 1
+            val = rng.normal(0.0, fan_in**-0.5, leaf.shape).astype(np.float32)
+        out[path] = jnp.asarray(val, dtype=leaf.dtype)
+    return {"params": unflatten_dict(out)}
+
+
+def load_params_npz(path: str):
+    """Load a flax param pytree from an .npz of flattened 'a/b/c' keys."""
+    from flax.traverse_util import unflatten_dict
+
+    data = np.load(path)
+    flat = {tuple(k.split("/")): jnp.asarray(v) for k, v in data.items()}
+    return {"params": unflatten_dict(flat)}
+
+
+def save_params_npz(params, path: str) -> None:
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params["params"])
+    np.savez(path, **{"/".join(k): np.asarray(v) for k, v in flat.items()})

@@ -1,0 +1,108 @@
+"""Stage 5.3 — embed every concatenated segment of every audio file.
+
+For each audio: read its concat-segment windows, slice them in memory, run
+the JAX speech encoder in bucketed batches, write ``OUT/{lang}/{stem}.embed``
+(fp16 .npy for SpeechLASER flavor). Sharding + skip-existing + atomic
+rename preserved. (Reference svecalign/seg_align/embed.py; the /tmp wav
+round-trip is gone.)
+
+CLI: ``python -m svecalign_tpu.seg_align.embed METADATA OUT_DIR
+--concat_dir C --lang L [--use_tgt] [--rank/--n_shard]
+[--embed_model_type speech_laser|sonar] [--sl_ckpt_dir D --sl_ckpt_name N]
+[--max_tokens ...] [--embed_fp32]``
+"""
+
+import argparse
+from pathlib import Path
+
+from svecalign_tpu.utils.embed_model_utils import (
+    add_embed_args,
+    embed_segments_to_file,
+    load_embed_model,
+)
+from svecalign_tpu.utils.file_utils import read_metadata, read_segments
+from svecalign_tpu.utils.log_utils import logging, my_tqdm
+from svecalign_tpu.utils.mp_utils import get_shard_range
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("metadata", type=str,
+                        help="the meta file that each line contains paired audio paths")
+    parser.add_argument("out_dir", type=str,
+                        help="the output dir. will save as *.embed.")
+    parser.add_argument("--concat_dir", type=str, required=True,
+                        help="will apply embedding to all segments files (*.txt) here.")
+    parser.add_argument("--lang", type=str, required=True,
+                        help="language. read from `concat_dir/lang`, output to `out_dir/lang`.")
+    parser.add_argument("--use_tgt", action="store_true", default=False,
+                        help="whether to read target side.")
+    parser.add_argument("--rank", type=int, default=0)
+    parser.add_argument("--n_shard", type=int, default=1)
+    add_embed_args(parser)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    logger.info(args)
+
+    all_pairs = read_metadata(args.metadata)
+    all_inputs = sorted({pair[1] if args.use_tgt else pair[0] for pair in all_pairs})
+
+    start, end = get_shard_range(len(all_inputs), args.n_shard, args.rank)
+    all_inputs = all_inputs[start:end]
+
+    concat_dir = Path(args.concat_dir) / args.lang
+    out_dir = Path(args.out_dir) / args.lang
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    logger.info(f"Embed model = {args.embed_model_type}")
+    embed_model = load_embed_model(
+        args.embed_model_type,
+        sl_ckpt_dir=args.sl_ckpt_dir,
+        sl_ckpt_name=args.sl_ckpt_name,
+        max_tokens=args.max_tokens,
+        sonar_name=args.sonar_name,
+        batch_size=args.batch_size or 16,
+    )
+
+    embed_fp32 = args.embed_fp32
+    logger.info(f"Embed with {'fp32' if embed_fp32 else 'fp16'}")
+
+    for audio_file in my_tqdm(all_inputs):
+        audio_stem = Path(audio_file).stem
+        seg_file = concat_dir / f"{audio_stem}.txt"
+        if not seg_file.exists():
+            logger.warning(f"{seg_file} not exists! Skip.")
+            continue
+
+        all_segments = read_segments(seg_file)
+        if len(all_segments) == 0:
+            logger.warning(
+                f"encountered empty segment file {seg_file}, corresponding "
+                f"audio file is {audio_file}"
+            )
+            continue
+
+        tmp_out_path = out_dir / f"{audio_stem}.tmp.embed"
+        embed_out_path = out_dir / f"{audio_stem}.embed"
+        if embed_out_path.exists():
+            continue  # skip processed inputs
+
+        embed_segments_to_file(
+            embed_model,
+            args.embed_model_type,
+            audio_file,
+            all_segments,
+            str(tmp_out_path),
+            fp16=not embed_fp32,
+        )
+        tmp_out_path.replace(embed_out_path)
+    logger.info("Finished!")
+
+
+if __name__ == "__main__":
+    main()

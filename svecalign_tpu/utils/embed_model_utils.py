@@ -1,0 +1,112 @@
+"""Embedding-model plumbing shared by the embed stages.
+
+Mirrors the reference CLI contract (svecalign/utils/embed_model_utils.py:
+16-56 ``add_embed_args``) with JAX backends. The reference slices every
+segment to /tmp wav files and re-reads them (``save_segment_audio_and_tsv``,
+:137-175); here segments are sliced in memory and fed straight to device
+buffers (SURVEY.md section 3.2: the /tmp round trip is deleted by design).
+"""
+
+import argparse
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+from svecalign_tpu.utils.audio_utils import SAMPLE_RATE, load_waveform
+from svecalign_tpu.utils.embedding_utils import write_np_embeddings, write_stopes_embedding
+from svecalign_tpu.utils.log_utils import logging
+
+EMBED_MODEL_TYPES = ["speech_laser", "sonar"]
+
+logger = logging.getLogger(__name__)
+
+
+def add_embed_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    parser.add_argument("--embed_model_type", choices=EMBED_MODEL_TYPES,
+                        default="speech_laser")
+    parser.add_argument("--embed_fp32", action="store_true", default=False,
+                        help="whether to save the embeddings in fp32. default is fp16.")
+    # SpeechLASER setups
+    parser.add_argument("--sl_ckpt_dir", type=str, default=None,
+                        help="the dir to all speech laser models (.npz converted weights).")
+    parser.add_argument("--sl_ckpt_name", type=str, default=None,
+                        help="which SpeechLASER weights to use, e.g. `english.npz`.")
+    parser.add_argument("--max_tokens", type=int, default=150 * SAMPLE_RATE,
+                        help="in number of SAMPLES")
+    # SONAR setups
+    parser.add_argument("--sonar_name", type=str, default=None,
+                        help="path to SONAR-style .npz weights (or a name tag).")
+    parser.add_argument("--batch_size", type=int, default=16,
+                        help="number of audios per batch.")
+    parser.add_argument("--n_proc", type=int, default=1)
+    parser.add_argument("--compile_sonar", action="store_true", default=False,
+                        help="accepted for CLI parity; JAX always jit-compiles.")
+    return parser
+
+
+def load_embed_model(
+    embed_model_type: str,
+    sl_ckpt_dir=None,
+    sl_ckpt_name=None,
+    max_tokens=None,
+    sonar_name=None,
+    sonar_fp16: bool = False,
+    compile_sonar: bool = False,
+    batch_size: int = 16,
+):
+    if embed_model_type == "speech_laser":
+        from svecalign_tpu.models.laser_encoder import SpeechLaserModel
+
+        ckpt = None
+        if sl_ckpt_dir and sl_ckpt_name:
+            candidate = Path(sl_ckpt_dir) / sl_ckpt_name
+            if candidate.exists():
+                ckpt = str(candidate)
+            else:
+                logger.warning(f"{candidate} not found; using random weights.")
+        return SpeechLaserModel(
+            ckpt_path=ckpt, max_tokens=max_tokens or 150 * SAMPLE_RATE
+        )
+    if embed_model_type == "sonar":
+        from svecalign_tpu.models.sonar_encoder import SonarSpeechModel
+
+        ckpt = sonar_name if sonar_name and Path(sonar_name).exists() else None
+        return SonarSpeechModel(ckpt_path=ckpt, batch_size=batch_size)
+    raise NotImplementedError(f"Unsupported model {embed_model_type}")
+
+
+def slice_segments(
+    wave_path: str, segments: List[Tuple[int, int]]
+) -> List[np.ndarray]:
+    """Read each (start, end) frame span of the audio into memory.
+
+    Reads the full file once and slices (the file is read at most once per
+    stage invocation; segments heavily overlap in the concat stage).
+    """
+    waveform = load_waveform(wave_path, sr=SAMPLE_RATE)
+    if waveform.ndim == 2:
+        waveform = waveform[:, 0]
+    return [waveform[s:e] for s, e in segments]
+
+
+def embed_segments_to_file(
+    embed_model,
+    embed_model_type: str,
+    wave_path: str,
+    segments: List[Tuple[int, int]],
+    out_path: str,
+    fp16: bool = True,
+) -> np.ndarray:
+    """Embed all segments of one audio and write the .embed file.
+
+    SpeechLASER flavor -> fp16/fp32 .npy (stopes format); SONAR flavor ->
+    headerless raw binary (reference embed_model_utils.py:102-134).
+    """
+    wavs = slice_segments(wave_path, segments)
+    emb = embed_model.encode(wavs)
+    if embed_model_type == "speech_laser":
+        write_stopes_embedding(emb, out_path, fp16=fp16)
+    else:
+        write_np_embeddings(emb, out_path, fp16=fp16)
+    return emb

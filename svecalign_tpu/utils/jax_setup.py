@@ -1,0 +1,34 @@
+"""Process-wide JAX configuration for the pipeline stages.
+
+Enables the persistent XLA compilation cache (under
+``~/.cache/svecalign_tpu`` or ``$SVECALIGN_CACHE_DIR``) so resumed /
+re-sharded stage jobs skip the 20-40 s per-shape TPU compiles — the stage
+model's skip-existing resume contract makes restarts common.
+"""
+
+import os
+from pathlib import Path
+
+_done = False
+
+
+def setup_jax() -> None:
+    global _done
+    if _done:
+        return
+    _done = True
+
+    if os.environ.get("SVECALIGN_NO_COMPILE_CACHE"):
+        return
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "SVECALIGN_CACHE_DIR", str(Path.home() / ".cache" / "svecalign_tpu")
+    )
+    try:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass

@@ -20,6 +20,10 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from svecalign_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
 from svecalign_tpu.ops import costs as costs_ops
 from svecalign_tpu.ops import dp as dp_ops
 from svecalign_tpu.vecalign.deletion import make_del_knob

@@ -1,0 +1,147 @@
+"""Model-stack tests: encoder shapes/masking, VAD segmentation, embed-align
+reuse parity vs the committed example."""
+
+import numpy as np
+import pytest
+
+from svecalign_tpu.models.laser_encoder import LaserEncoderConfig, SpeechLaserModel
+from svecalign_tpu.models.sonar_encoder import SonarEncoderConfig, SonarSpeechModel
+from svecalign_tpu.models.vad import EnergyVAD, SileroStyleVAD, get_speech_timestamps
+
+TINY_LASER = LaserEncoderConfig(
+    conv_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+    encoder_dim=64,
+    encoder_layers=2,
+    encoder_heads=4,
+    encoder_ffn_dim=128,
+    conv_pos_kernel=16,
+    conv_pos_groups=4,
+)
+
+TINY_SONAR = SonarEncoderConfig(
+    n_mels=80, model_dim=64, n_layers=2, n_heads=4, ffn_dim=128, pool_dim=64
+)
+
+
+@pytest.fixture(scope="module")
+def laser():
+    m = SpeechLaserModel(config=TINY_LASER)
+    m.BUCKETS = (16000, 32000)
+    return m
+
+
+def test_laser_encoder_shapes(laser):
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(n).astype(np.float32) for n in (8000, 15000, 31000)]
+    emb = laser.encode(wavs)
+    assert emb.shape == (3, 64)
+    assert np.all(np.isfinite(emb))
+
+
+def test_laser_padding_invariance(laser):
+    """A segment's embedding must not depend on batch padding."""
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal(9000).astype(np.float32)
+    alone = laser.encode([w])
+    with_others = laser.encode([w, rng.standard_normal(15500).astype(np.float32)])
+    np.testing.assert_allclose(alone[0], with_others[0], rtol=2e-2, atol=2e-3)
+
+
+def test_sonar_encoder_shapes():
+    m = SonarSpeechModel(config=TINY_SONAR)
+    rng = np.random.default_rng(2)
+    wavs = [rng.standard_normal(n).astype(np.float32) for n in (16000, 48000)]
+    emb = m.encode(wavs)
+    assert emb.shape == (2, 64)
+    assert np.all(np.isfinite(emb))
+
+
+def test_energy_vad_segments_synthetic_speech():
+    """tone bursts in silence -> one segment per burst, correct extents."""
+    rng = np.random.default_rng(3)
+    sr = 16000
+    audio = np.zeros(sr * 10, dtype=np.float32)
+    audio += 1e-4 * rng.standard_normal(len(audio)).astype(np.float32)  # noise floor
+    bursts = [(1.0, 2.5), (4.0, 6.0), (8.0, 9.0)]
+    t = np.arange(len(audio)) / sr
+    for s, e in bursts:
+        seg = (t >= s) & (t < e)
+        audio[seg] += 0.3 * np.sin(2 * np.pi * 220 * t[seg]).astype(np.float32)
+        audio[seg] *= (1 + 0.5 * np.sin(2 * np.pi * 3 * t[seg])).astype(np.float32)
+
+    spans = get_speech_timestamps(audio, EnergyVAD())
+    assert len(spans) == 3, spans
+    for (s, e), span in zip(bursts, spans):
+        assert abs(span["start"] / sr - s) < 0.2, (span, s)
+        assert abs(span["end"] / sr - e) < 0.2, (span, e)
+
+
+def test_energy_vad_silence_gives_nothing():
+    audio = np.zeros(16000 * 3, dtype=np.float32)
+    assert get_speech_timestamps(audio, EnergyVAD()) == []
+
+
+def test_silero_style_vad_runs():
+    vad = SileroStyleVAD()
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal(16000 * 2).astype(np.float32)
+    probs = vad.speech_probs(audio)
+    assert probs.shape == (-(-len(audio) // vad.window_size),)
+    assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_vad_min_silence_merges_short_gaps():
+    """a 50 ms dip below threshold must NOT split a segment (min_silence
+    100 ms), exercising the hysteresis logic."""
+    from svecalign_tpu.models.vad import probs_to_timestamps
+
+    window = 1600  # 100 ms
+    probs = np.array([0, 1, 1, 1, 0.1, 0.1, 1, 1, 1, 1, 0, 0, 0], dtype=np.float32)
+    # 200 ms dip with min_silence=300ms -> no split
+    spans = probs_to_timestamps(
+        probs, len(probs) * window, window,
+        threshold=0.5, min_silence_duration_ms=300, speech_pad_ms=0,
+    )
+    assert len(spans) == 1
+    # with min_silence=100ms the dip is long enough -> split into two
+    spans2 = probs_to_timestamps(
+        probs, len(probs) * window, window,
+        threshold=0.5, min_silence_duration_ms=100, speech_pad_ms=0,
+    )
+    assert len(spans2) == 2
+
+
+def test_embed_align_reuse_matches_committed(example_dir):
+    """The reuse pointers must reproduce the committed tsv exactly
+    (reused rows point to the concat embed file with identical row ids;
+    fresh rows are the same set)."""
+    from svecalign_tpu.postprocess.embed_align import (
+        find_reusable_embeddings,
+        load_one_side_alignments,
+    )
+
+    stem = "20180313-0900-PLENARY-15"
+    pair = f"{stem}_en-{stem}_de"
+    aligns = load_one_side_alignments(
+        example_dir / "align_0.7_clean_cat3_min1s/en-de" / f"{pair}.txt",
+        example_dir / "segments/en" / f"{stem}_en.txt",
+        example_dir / "segments/de" / f"{stem}_de.txt",
+        embed_source=True,
+    )
+    reuse, miss = find_reusable_embeddings(
+        aligns, example_dir / "cat_segs/en" / f"{stem}_en.txt"
+    )
+
+    committed = [
+        line.split("\t")
+        for line in (example_dir / "align_0.7_clean_cat3_min1s_embed/en-de" / f"{pair}.src.tsv")
+        .read_text()
+        .splitlines()
+    ]
+    assert len(committed) == len(aligns)
+    for ii, (path, row) in enumerate(committed):
+        if "embeds/en" in path:  # reused row
+            assert reuse[ii] == int(row), ii
+        else:  # freshly embedded row
+            assert ii in miss, ii
+    assert len(miss) == sum(1 for p, _ in committed if "embeds/en" not in p)
