@@ -84,9 +84,16 @@ def compute_norms_from_sample(vecs0: Array, sample: Array) -> Array:
     return 1.0 - jnp.mean(sim, axis=-1)
 
 
+@jax.jit
+def _gather_sample_planes(vecs1: Array, idxs: Array) -> Array:
+    """vecs1: (n_overlaps, size, d); idxs: (n_overlaps, samps) -> (n_overlaps*samps, d)."""
+    gathered = jnp.take_along_axis(vecs1, idxs[:, :, None], axis=1)
+    return gathered.reshape(-1, vecs1.shape[-1])
+
+
 def compute_norms(
-    vecs0: np.ndarray,
-    vecs1: np.ndarray,
+    vecs0,
+    vecs1,
     num_samples: int,
     rng: np.random.Generator,
 ) -> Array:
@@ -95,8 +102,9 @@ def compute_norms(
 
     Semantics follow reference dp_utils.py:326-359: ceil(num_samples /
     n_overlaps) draws per overlap plane, with replacement. Returns
-    (n_overlaps0, size0) float32. Uses a caller-provided seeded RNG (the
-    reference samples unseeded; we default to seeded for reproducibility).
+    (n_overlaps0, size0) float32. Sampling indices come from a seeded host
+    RNG (the reference is unseeded), but the gather and matmul stay on
+    device — only the tiny index array crosses the host boundary.
     """
     overlaps1, size1, dim = vecs1.shape
     overlaps0, size0, _ = vecs0.shape
@@ -104,11 +112,8 @@ def compute_norms(
     samps_per_overlap = math.ceil(num_samples / overlaps1) if overlaps1 else 0
 
     if size1 and samps_per_overlap:
-        planes = []
-        for overlap_ii in range(overlaps1):
-            idxs = rng.integers(0, size1, size=samps_per_overlap)
-            planes.append(np.asarray(vecs1)[overlap_ii, idxs, :])
-        sample = jnp.asarray(np.concatenate(planes, axis=0))
+        idxs = rng.integers(0, size1, size=(overlaps1, samps_per_overlap))
+        sample = _gather_sample_planes(jnp.asarray(vecs1), jnp.asarray(idxs))
         return compute_norms_from_sample(jnp.asarray(vecs0), sample)
     return jnp.ones((overlaps0, size0), dtype=jnp.float32)
 
@@ -205,22 +210,34 @@ def banded_costs(
     return out[:, :a_len]
 
 
+@jax.jit
+def _score_pairs_device(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
+    v0 = jnp.take(vecs0, x_idx, axis=0)
+    v1 = jnp.take(vecs1, y_idx, axis=0)
+    dots = jnp.einsum(
+        "nd,nd->n", v0, v1, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return 2.0 * (1.0 - dots) / (jnp.take(norms0, x_idx) + jnp.take(norms1, y_idx))
+
+
 def score_pairs(
     x_idx: np.ndarray,
     y_idx: np.ndarray,
-    norms0: np.ndarray,
-    norms1: np.ndarray,
-    vecs0: np.ndarray,
-    vecs1: np.ndarray,
+    norms0,
+    norms1,
+    vecs0,
+    vecs1,
 ) -> np.ndarray:
     """Batched cosine-distance costs for sampled index pairs.
 
     Equivalent to reference dp_core.pyx:143-161 ``score_path`` (note: no
     epsilon in this denominator). Used for deletion-penalty estimation.
+    Runs on device; only the sampled scores come back to the host.
     """
-    v0 = np.asarray(vecs0)[x_idx]
-    v1 = np.asarray(vecs1)[y_idx]
-    dots = np.einsum("nd,nd->n", v0, v1)
-    return (2.0 * (1.0 - dots) / (np.asarray(norms0)[x_idx] + np.asarray(norms1)[y_idx])).astype(
-        np.float32
+    out = _score_pairs_device(
+        jnp.asarray(vecs0), jnp.asarray(vecs1),
+        jnp.asarray(norms0), jnp.asarray(norms1),
+        jnp.asarray(x_idx), jnp.asarray(y_idx),
     )
+    return np.asarray(out, dtype=np.float32)

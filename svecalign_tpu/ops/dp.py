@@ -280,9 +280,7 @@ def run_banded_dp(
         jnp.int32(x_in_size),
         jnp.int32(y_in_size),
     )
-    return (
-        np.asarray(csum, dtype=np.float64),
-        np.asarray(xp),
-        np.asarray(yp),
-        b_off_out,
-    )
+    # one host pull for all three planes (roundtrip latency dominates on
+    # tunneled devices)
+    csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))
+    return csum_h.astype(np.float64), xp_h, yp_h, b_off_out

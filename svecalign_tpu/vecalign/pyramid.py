@@ -130,6 +130,42 @@ def upsample_alignment(algn: List[Alignment]) -> List[Alignment]:
 # ---------------------------------------------------------------------------
 
 
+def _pick_banded_dp(dp_backend: str, costs_shape, alignment_types):
+    """Resolve the banded-DP implementation for this level.
+
+    - 'pallas': the VMEM wavefront kernel (TPU only)
+    - 'xla'   : the lax.scan kernel (any backend)
+    - 'native': the C++ float64 host kernel (no accelerator needed)
+    - 'auto'  : pallas on TPU when the band/type geometry fits, else xla on
+                an accelerator, else native on CPU-only hosts
+    """
+    import jax
+
+    if dp_backend == "auto":
+        platform = jax.default_backend()
+        if platform in ("tpu", "axon"):
+            from svecalign_tpu.ops.dp_pallas import pallas_supported
+
+            if pallas_supported(costs_shape, alignment_types):
+                dp_backend = "pallas"
+            else:
+                dp_backend = "xla"
+        elif platform == "cpu":
+            dp_backend = "native"
+        else:
+            dp_backend = "xla"
+
+    if dp_backend == "pallas":
+        from svecalign_tpu.ops.dp_pallas import run_banded_dp_pallas
+
+        return run_banded_dp_pallas
+    if dp_backend == "native":
+        from svecalign_tpu.ops.dp_native import run_banded_dp_native
+
+        return lambda costs, *a: run_banded_dp_native(np.asarray(costs), *a)
+    return dp_ops.run_banded_dp
+
+
 def vecalign(
     vecs0: np.ndarray,
     vecs1: np.ndarray,
@@ -142,6 +178,7 @@ def vecalign(
     norms0: Optional[np.ndarray] = None,
     norms1: Optional[np.ndarray] = None,
     seed: int = 42,
+    dp_backend: str = "auto",
 ) -> dict:
     """Coarse-to-fine alignment of two overlap tensors.
 
@@ -149,6 +186,7 @@ def vecalign(
     Returns the DP stack: stack[0]['final_alignments'] is the result,
     stack[0]['alignment_scores'] the per-alignment costs.
     Matches reference dp_utils.py:381-537 semantics; RNG is seeded.
+    ``dp_backend``: auto | pallas | xla | native (see _pick_banded_dp).
     """
     if width_over2 < 3:
         logger.warning(
@@ -213,11 +251,12 @@ def vecalign(
     # deletion penalty per depth (host: sampled percentile)
     t0 = time()
     for depth in stack:
+        # device arrays pass straight through; only sampled scores return
         knob = make_del_knob(
-            e_laser=np.asarray(stack[depth]["v0"][0]),
-            f_laser=np.asarray(stack[depth]["v1"][0]),
-            e_laser_norms=np.asarray(stack[depth]["n0"][0]),
-            f_laser_norms=np.asarray(stack[depth]["n1"][0]),
+            e_laser=stack[depth]["v0"][0],
+            f_laser=stack[depth]["v1"][0],
+            e_laser_norms=stack[depth]["n0"][0],
+            f_laser_norms=stack[depth]["n1"][0],
             sample_size=costs_sample_size,
             rng=rng,
         )
@@ -284,7 +323,8 @@ def vecalign(
         compute_costs_times.append(time() - t0)
 
         t0 = time()
-        csum, xp, yp, b_off_out = dp_ops.run_banded_dp(
+        banded_dp_fn = _pick_banded_dp(dp_backend, a_b_costs.shape, types)
+        csum, xp, yp, b_off_out = banded_dp_fn(
             a_b_costs,
             b_offset,
             types,

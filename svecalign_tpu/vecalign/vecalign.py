@@ -23,7 +23,6 @@ from svecalign_tpu.vecalign.pyramid import vecalign
 from svecalign_tpu.vecalign.score import log_final_scores, score_multiple
 
 logger = logging.getLogger("vecalign")
-logger.propagate = False
 
 
 def make_alignment_types(max_alignment_size: int) -> List[Tuple[int, int]]:
