@@ -1,0 +1,309 @@
+"""Batched multi-pair alignment: many document pairs per device program.
+
+The per-pair aligner (pyramid.py) is latency-bound: each level costs a few
+host<->device roundtrips regardless of size, so a mining run over thousands
+of document pairs wastes the chip. This driver pads a bucket of pairs to
+common shapes and runs every device stage — normalization, masked pyramid
+downsampling, margin normalizers, deletion-knob sampling, dense costs + DP,
+banded costs + DP — batched over the pair axis (vmap), so the roundtrip
+count per LEVEL is constant in the batch size. Host bookkeeping (search
+paths, tracebacks) stays per-pair.
+
+Semantics match pyramid.vecalign per pair, with one deliberate deviation:
+the pyramid's mean-removal during downsampling is computed with per-pair
+validity masks (so padding rows don't shift the mean), making padded and
+unpadded pairs equivalent; sampling draws come from one shared seeded RNG,
+so a pair's deletion penalty depends on its batch (same distribution, same
+percentile target — quality-equivalent, tested in tests/test_batch_align.py).
+"""
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svecalign_tpu.ops import costs as costs_ops
+from svecalign_tpu.ops import dp as dp_ops
+from svecalign_tpu.vecalign.deletion import DeletionKnob
+from svecalign_tpu.vecalign.pyramid import (
+    alignment_to_search_path,
+    extend_alignments,
+    upsample_alignment,
+)
+from svecalign_tpu.vecalign.traceback import dense_traceback, sparse_traceback
+from svecalign_tpu.utils.log_utils import logging
+
+logger = logging.getLogger("vecalign.batch")
+
+Alignment = Tuple[List[int], List[int]]
+
+
+# ---------------------------------------------------------------------------
+# batched device ops
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _downsample_masked(vecs: jax.Array, sizes: jax.Array):
+    """(P, n_overlaps, b, d) -> halved, with per-pair masked mean removal.
+
+    Equivalent to ops.costs.downsample_vectors applied per pair at its true
+    length: pairs are summed, the mean is taken over each pair's valid
+    halved rows only, and invalid rows are zeroed.
+    """
+    p, n, b, d = vecs.shape
+    half = vecs[:, :, : b - b % 2].reshape(p, n, b // 2, 2, d).sum(axis=3)
+    new_sizes = sizes // 2
+    row = jnp.arange(b // 2)
+    valid = row[None, :] < new_sizes[:, None]  # (P, b//2)
+    vmask = valid[:, None, :, None]
+    denom = jnp.maximum(new_sizes, 1).astype(jnp.float32)[:, None, None, None]
+    mean = jnp.sum(jnp.where(vmask, half, 0.0), axis=2, keepdims=True) / denom
+    half = jnp.where(vmask, half - mean, 0.0)
+    return costs_ops.make_norm1(half) * vmask, new_sizes
+
+
+_batched_dense_costs = jax.jit(jax.vmap(costs_ops.dense_costs))
+_batched_dense_dp = jax.jit(jax.vmap(dp_ops.dense_dp, in_axes=(0, 0)))
+
+
+@jax.jit
+def _batched_norms_from_sample(vecs0, sample):
+    return jax.vmap(costs_ops.compute_norms_from_sample)(vecs0, sample)
+
+
+@jax.jit
+def _batched_gather_sample(vecs1, idxs):
+    # vecs1: (P, n_overlaps, b, d); idxs: (P, n_overlaps, s)
+    gathered = jnp.take_along_axis(vecs1, idxs[:, :, :, None], axis=2)
+    return gathered.reshape(vecs1.shape[0], -1, vecs1.shape[-1])
+
+
+@jax.jit
+def _batched_score_pairs(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
+    def one(v0, v1, n0, n1, xi, yi):
+        d = jnp.einsum(
+            "nd,nd->n",
+            jnp.take(v0, xi, axis=0),
+            jnp.take(v1, yi, axis=0),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return 2.0 * (1.0 - d) / (jnp.take(n0, xi) + jnp.take(n1, yi))
+
+    return jax.vmap(one)(vecs0, vecs1, norms0, norms1, x_idx, y_idx)
+
+
+@partial(jax.jit, static_argnames=("x_offsets", "y_offsets", "width_over2"))
+def _batched_banded_costs(v0, v1, n0, n1, b_offset, x_offsets, y_offsets, width_over2):
+    fn = partial(
+        costs_ops.banded_costs,
+        x_offsets=x_offsets,
+        y_offsets=y_offsets,
+        width_over2=width_over2,
+    )
+    return jax.vmap(fn)(v0, v1, n0, n1, b_offset)
+
+
+@partial(jax.jit, static_argnames=("x_offsets", "y_offsets"))
+def _batched_banded_dp(costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs, ys):
+    def fn(c, bi, bo, pen, x, y):
+        return dp_ops.banded_dp(c, bi, bo, x_offsets, y_offsets, pen, x, y)
+
+    return jax.vmap(fn)(costs, boff_in, boff_out, pens, xs, ys)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def _del_penalty_from_scores(scores: np.ndarray, frac: float) -> float:
+    knob = DeletionKnob(scores, 0, float(scores.max()))
+    return knob.percentile_frac_to_del_penalty(frac)
+
+
+def vecalign_batched(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    final_alignment_types: List[Tuple[int, int]],
+    del_percentile_frac: float,
+    width_over2: int,
+    max_size_full_dp: int,
+    costs_sample_size: int,
+    num_samps_for_norm: int,
+    seed: int = 42,
+) -> List[Tuple[List[Alignment], np.ndarray]]:
+    """Align a bucket of document pairs in one batched pyramid.
+
+    pairs: [(vecs0, vecs1)] overlap tensors, (n_overlaps, n_i, dim) each;
+    n_overlaps and dim must agree across the bucket (pad counts differ).
+    Returns [(final_alignments, alignment_scores)] per pair.
+    """
+    if width_over2 < 3:
+        width_over2 = 3
+    P = len(pairs)
+    assert P > 0
+    rng = np.random.default_rng(seed)
+
+    n_over0 = pairs[0][0].shape[0]
+    n_over1 = pairs[0][1].shape[0]
+    dim = pairs[0][0].shape[2]
+    sizes0 = np.array([v0.shape[1] for v0, _ in pairs], dtype=np.int32)
+    sizes1 = np.array([v1.shape[1] for _, v1 in pairs], dtype=np.int32)
+    n_pad = int(sizes0.max())
+    m_pad = int(sizes1.max())
+
+    v0 = np.zeros((P, n_over0, n_pad, dim), dtype=np.float32)
+    v1 = np.zeros((P, n_over1, m_pad, dim), dtype=np.float32)
+    for i, (a, b) in enumerate(pairs):
+        v0[i, :, : a.shape[1]] = a
+        v1[i, :, : b.shape[1]] = b
+
+    # normalize; padding rows stay zero (zero norm -> zero vector)
+    v0 = costs_ops.make_norm1(jnp.asarray(v0))
+    v1 = costs_ops.make_norm1(jnp.asarray(v1))
+
+    # shared pyramid depth from the padded shapes
+    s0, s1 = n_pad, m_pad
+    max_depth = 0
+    while s0 * s1 > max_size_full_dp**2:
+        max_depth += 1
+        s0 //= 2
+        s1 //= 2
+
+    stack = {
+        0: {
+            "v0": v0,
+            "v1": v1,
+            "sizes0": jnp.asarray(sizes0),
+            "sizes1": jnp.asarray(sizes1),
+        }
+    }
+    for depth in range(1, max_depth + 1):
+        pv0, ps0 = _downsample_masked(
+            stack[depth - 1]["v0"], stack[depth - 1]["sizes0"]
+        )
+        pv1, ps1 = _downsample_masked(
+            stack[depth - 1]["v1"], stack[depth - 1]["sizes1"]
+        )
+        stack[depth] = {"v0": pv0, "v1": pv1, "sizes0": ps0, "sizes1": ps1}
+
+    # per-depth normalizers + deletion penalties
+    for depth in stack:
+        e = stack[depth]
+        e["alignment_types"] = final_alignment_types if depth == 0 else [(1, 1)]
+        h_sizes0 = np.asarray(e["sizes0"])
+        h_sizes1 = np.asarray(e["sizes1"])
+        e["h_sizes0"], e["h_sizes1"] = h_sizes0, h_sizes1
+
+        import math
+
+        # margin normalizers: per-pair sample draws from the valid range
+        samps1 = math.ceil(num_samps_for_norm / e["v1"].shape[1])
+        idx1 = rng.integers(
+            0, np.maximum(h_sizes1, 1)[:, None, None],
+            size=(P, e["v1"].shape[1], samps1),
+        )
+        sample1 = _batched_gather_sample(e["v1"], jnp.asarray(idx1))
+        e["n0"] = _batched_norms_from_sample(e["v0"], sample1)
+
+        samps0 = math.ceil(num_samps_for_norm / e["v0"].shape[1])
+        idx0 = rng.integers(
+            0, np.maximum(h_sizes0, 1)[:, None, None],
+            size=(P, e["v0"].shape[1], samps0),
+        )
+        sample0 = _batched_gather_sample(e["v0"], jnp.asarray(idx0))
+        e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
+
+        # deletion penalties: one batched sample + ONE pull for all pairs
+        x_idx = rng.integers(0, np.maximum(h_sizes0, 1)[:, None], size=(P, costs_sample_size))
+        y_idx = rng.integers(0, np.maximum(h_sizes1, 1)[:, None], size=(P, costs_sample_size))
+        scores = np.asarray(
+            _batched_score_pairs(
+                e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
+                jnp.asarray(x_idx), jnp.asarray(y_idx),
+            )
+        )
+        e["del_penalty"] = np.array(
+            [
+                _del_penalty_from_scores(scores[i], del_percentile_frac)
+                if h_sizes0[i] and h_sizes1[i]
+                else 0.5
+                for i in range(P)
+            ],
+            dtype=np.float32,
+        )
+
+    # dense level
+    top = stack[max_depth]
+    costs = _batched_dense_costs(
+        top["v0"][:, 0], top["v1"][:, 0], top["n0"][:, 0], top["n1"][:, 0]
+    )
+    _, bp = _batched_dense_dp(costs, jnp.asarray(top["del_penalty"]))
+    bp = np.asarray(bp)
+    top["alignments"] = [
+        dense_traceback(bp[i][: top["h_sizes0"][i] + 1, : top["h_sizes1"][i] + 1])
+        for i in range(P)
+    ]
+
+    # refinement levels
+    upsample_depths = [0] if max_depth == 0 else list(reversed(range(0, max_depth)))
+    for depth in upsample_depths:
+        e = stack[depth]
+        types = e["alignment_types"]
+        x_offsets = tuple(x for x, _ in types)
+        y_offsets = tuple(y for _, y in types)
+
+        paths = []
+        for i in range(P):
+            if max_depth > 0:
+                coarse = upsample_alignment(stack[depth + 1]["alignments"][i])
+                extend_alignments(coarse, int(e["h_sizes0"][i]), int(e["h_sizes1"][i]))
+            else:
+                coarse = stack[0]["alignments"][i]
+            paths.append(alignment_to_search_path(coarse))
+
+        a_pad = max(len(p) for p in paths)
+        boff_in = np.zeros((P, a_pad), dtype=np.int32)
+        for i, path in enumerate(paths):
+            bo = costs_ops.path_to_band_offsets(path, width_over2)
+            boff_in[i, : len(bo)] = bo
+            boff_in[i, len(bo) :] = bo[-1]  # replicate; cells are invalid anyway
+        boff_out = np.stack(
+            [dp_ops.extend_band_offsets(boff_in[i]) for i in range(P)]
+        )
+
+        band_costs = _batched_banded_costs(
+            e["v0"], e["v1"], e["n0"], e["n1"], jnp.asarray(boff_in),
+            x_offsets, y_offsets, width_over2,
+        )
+        csum, xp, yp = _batched_banded_dp(
+            band_costs,
+            jnp.asarray(boff_in),
+            jnp.asarray(boff_out),
+            x_offsets,
+            y_offsets,
+            jnp.asarray(e["del_penalty"]),
+            e["sizes0"],
+            e["sizes1"],
+        )
+        # ONE pull for the whole bucket
+        csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))
+
+        e["alignments"] = []
+        e["alignment_scores"] = []
+        for i in range(P):
+            aligns, scores = sparse_traceback(
+                csum_h[i].astype(np.float64),
+                xp_h[i],
+                yp_h[i],
+                boff_out[i],
+                int(e["h_sizes0"][i]),
+                int(e["h_sizes1"][i]),
+            )
+            e["alignments"].append(aligns)
+            e["alignment_scores"].append(scores)
+
+    return list(zip(stack[0]["alignments"], stack[0]["alignment_scores"]))

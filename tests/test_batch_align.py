@@ -1,0 +1,119 @@
+"""Batched multi-pair alignment vs the per-pair pyramid."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from svecalign_tpu.ops import costs as costs_ops
+from svecalign_tpu.vecalign import pyramid
+from svecalign_tpu.vecalign.batch import vecalign_batched
+from svecalign_tpu.vecalign.score import score_multiple
+
+TYPES = [(x, y) for x in range(1, 4) for y in range(1, 4) if x + y <= 4]
+KW = dict(
+    final_alignment_types=TYPES,
+    del_percentile_frac=0.2,
+    width_over2=5,
+    max_size_full_dp=300,
+    costs_sample_size=500,
+    num_samps_for_norm=30,
+)
+
+
+def _pair(rng, n, m, d=32, n_overlaps=3, related=True):
+    base = rng.standard_normal((n_overlaps, max(n, m), d)).astype(np.float32)
+    v0 = base[:, :n].copy()
+    if related:
+        v1 = base[:, :m] + 0.1 * rng.standard_normal((n_overlaps, m, d)).astype(np.float32)
+    else:
+        v1 = rng.standard_normal((n_overlaps, m, d)).astype(np.float32)
+    return (
+        np.asarray(costs_ops.make_norm1(jnp.asarray(v0))),
+        np.asarray(costs_ops.make_norm1(jnp.asarray(v1))),
+    )
+
+
+def test_batched_covers_documents():
+    rng = np.random.default_rng(0)
+    pairs = [_pair(rng, 37, 35), _pair(rng, 28, 31), _pair(rng, 40, 22)]
+    results = vecalign_batched(pairs, **KW)
+    assert len(results) == 3
+    for (v0, v1), (aligns, scores) in zip(pairs, results):
+        xs = [i for x, _ in aligns for i in x]
+        ys = [j for _, y in aligns for j in y]
+        assert xs == list(range(v0.shape[1]))
+        assert ys == list(range(v1.shape[1]))
+        assert len(aligns) == len(scores)
+
+
+def test_batched_matches_unbatched_quality():
+    """Batched and per-pair drivers draw their normalizer/penalty samples in
+    a different order from the same seed, so near-tie merges can differ;
+    require strong agreement plus identical coverage (padding inert)."""
+    rng = np.random.default_rng(1)
+    sizes = [(30, 30), (25, 25), (18, 18)]
+    pairs = [_pair(rng, n, m) for n, m in sizes]
+
+    batched = vecalign_batched(pairs, **KW)
+    for (v0, v1), (aligns, _) in zip(pairs, batched):
+        single = pyramid.vecalign(v0.copy(), v1.copy(), **KW)
+        sa = single[0]["final_alignments"]
+        a_set = set((tuple(x), tuple(y)) for x, y in aligns)
+        s_set = set((tuple(x), tuple(y)) for x, y in sa)
+        overlap = len(a_set & s_set) / max(len(s_set), 1)
+        assert overlap >= 0.7, (overlap, aligns, sa)
+        # identical coverage regardless of merge choices
+        assert [i for x, _ in aligns for i in x] == list(range(v0.shape[1]))
+        assert [j for _, y in aligns for j in y] == list(range(v1.shape[1]))
+
+
+def test_batched_with_pyramid_depth():
+    """Force downsampling (max_size_full_dp small) with mixed sizes."""
+    rng = np.random.default_rng(2)
+    pairs = [_pair(rng, 50, 47), _pair(rng, 61, 44)]
+    results = vecalign_batched(pairs, **{**KW, "max_size_full_dp": 20})
+    for (v0, v1), (aligns, _) in zip(pairs, results):
+        xs = [i for x, _ in aligns for i in x]
+        ys = [j for _, y in aligns for j in y]
+        assert xs == list(range(v0.shape[1]))
+        assert ys == list(range(v1.shape[1]))
+
+
+def test_batched_example_pair_matches_committed(example_dir):
+    """Run the real example pair through the batched driver (batch of 2
+    replicas) and check gold F1 parity."""
+    from svecalign_tpu.utils.embedding_utils import make_doc_embedding, read_in_embeddings
+    from svecalign_tpu.utils.file_utils import read_alignments
+    from svecalign_tpu.vecalign.vecalign import make_alignment_types
+
+    stem = "20180313-0900-PLENARY-15"
+    s2i, emb0 = read_in_embeddings(
+        str(example_dir / f"cat_segs/en/{stem}_en.txt"),
+        str(example_dir / f"embeds/en/{stem}_en.embed"),
+        use_stopes=True,
+    )
+    t2i, emb1 = read_in_embeddings(
+        str(example_dir / f"cat_segs/de/{stem}_de.txt"),
+        str(example_dir / f"embeds/de/{stem}_de.embed"),
+        use_stopes=True,
+    )
+    src_lines = open(example_dir / f"segments/en/{stem}_en.txt").readlines()
+    tgt_lines = open(example_dir / f"segments/de/{stem}_de.txt").readlines()
+    v0 = make_doc_embedding(s2i, emb0, src_lines, 5, overlap_segments=True)
+    v1 = make_doc_embedding(t2i, emb1, tgt_lines, 5, overlap_segments=True)
+
+    results = vecalign_batched(
+        [(v0, v1), (v0, v1)],
+        final_alignment_types=make_alignment_types(6),
+        del_percentile_frac=0.2,
+        width_over2=8,
+        max_size_full_dp=300,
+        costs_sample_size=20000,
+        num_samps_for_norm=100,
+    )
+    gold = read_alignments(str(example_dir / f"{stem}.gold"))
+    for aligns, _ in results:
+        res = score_multiple([gold], [aligns])
+        assert res["f1_strict"] >= 0.57, res
+        assert res["f1_lax"] >= 0.95, res
