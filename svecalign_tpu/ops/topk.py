@@ -146,6 +146,25 @@ def sharded_search(
     return d_all[rows, order], i_all[rows, order]
 
 
+class ShardedFlatIndex:
+    """Flat index whose corpus is sharded row-wise across the device mesh.
+
+    Same ``search`` contract as :class:`FlatIndex`; use for corpora that
+    exceed one chip's HBM (the TPU analog of faiss fp16-shard)."""
+
+    def __init__(self, corpus: np.ndarray, mesh: Optional[Mesh] = None):
+        self.corpus = np.asarray(corpus, dtype=np.float32)
+        self.mesh = mesh
+        self.dim = self.corpus.shape[1]
+
+    @property
+    def ntotal(self) -> int:
+        return self.corpus.shape[0]
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        return sharded_search(queries, self.corpus, min(k, self.ntotal), self.mesh)
+
+
 # ---------------------------------------------------------------------------
 # IVF: k-means coarse quantizer + nprobe search (approximate, for the
 # tens-of-millions regime where a dense matmul per query batch is wasteful)

@@ -49,6 +49,9 @@ def parse_args():
     parser.add_argument("--margin", type=str, default="ratio",
                         help="Margin for xSIM calculation: ratio or distance.")
     parser.add_argument("--k", type=int, default=16, help="number of nearest neighbors.")
+    parser.add_argument("--sharded_index", action="store_true", default=False,
+                        help="shard the corpus row-wise across all devices "
+                             "(for corpora exceeding one chip's HBM).")
     return parser.parse_args()
 
 
@@ -140,6 +143,16 @@ def main():
     src_index = load_index(src_index_path, nprobe=args.num_probe)
     logger.info(f"Loading {tgt_index_path}")
     tgt_index = load_index(tgt_index_path, nprobe=args.num_probe)
+
+    if args.sharded_index:
+        from svecalign_tpu.ops.topk import FlatIndex, ShardedFlatIndex
+
+        assert isinstance(src_index, FlatIndex) and isinstance(tgt_index, FlatIndex), (
+            "--sharded_index applies to Flat indexes"
+        )
+        src_index = ShardedFlatIndex(src_index.corpus)
+        tgt_index = ShardedFlatIndex(tgt_index.corpus)
+        logger.info("Sharding corpora across the device mesh")
 
     margin_scores = []
     for align_id in my_tqdm(metas):

@@ -57,6 +57,9 @@ def parse_args():
                         help="if provided, some segments will be ignored when loading embeddings.")
     parser.add_argument("--seed", type=int, default=42,
                         help="RNG seed (new; the reference is unseeded).")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="if set, write a JAX profiler trace of the alignment loop "
+                             "here (view with tensorboard / xprof).")
     return parser.parse_args()
 
 
@@ -160,6 +163,19 @@ def main():
         ign_indices_dir,
     )
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile_dir:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+
+    with profile_ctx:
+        _run_pairs(args, valid_pairs)
+
+
+def _run_pairs(args, valid_pairs):
     for pair in my_tqdm(valid_pairs):
         vecalign_func(
             src=pair.src_seg_path,
