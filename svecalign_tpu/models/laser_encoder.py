@@ -48,13 +48,21 @@ class LaserEncoderConfig:
         (512, 2, 2),
         (512, 2, 2),
     )
+    # "layer" = per-layer LayerNorm (wav2vec2-large / XLSR / SpeechLASER);
+    # "group" = GroupNorm on layer 0 only (wav2vec2-base)
+    extractor_mode: str = "layer"
+    conv_bias: bool = True
     encoder_dim: int = 1024
-    encoder_layers: int = 12
+    encoder_layers: int = 24
     encoder_heads: int = 16
     encoder_ffn_dim: int = 4096
     conv_pos_kernel: int = 128
     conv_pos_groups: int = 16
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
+
+
+def _gelu(x):
+    return nn.gelu(x, approximate=False)  # exact erf, as torch
 
 
 class ConvFeatureExtractor(nn.Module):
@@ -65,23 +73,28 @@ class ConvFeatureExtractor(nn.Module):
         """(B, T) -> (B, frames, conv_dim)."""
         x = waveform[:, :, None]
         dtype = jnp.dtype(self.config.dtype)
+        layer_mode = self.config.extractor_mode == "layer"
         for i, (dim, kernel, stride) in enumerate(self.config.conv_layers):
             x = nn.Conv(
                 features=dim,
                 kernel_size=(kernel,),
                 strides=(stride,),
-                use_bias=False,
+                use_bias=self.config.conv_bias if layer_mode else False,
                 padding="VALID",
                 dtype=dtype,
                 name=f"conv_{i}",
             )(x)
-            if i == 0:
+            if layer_mode:
+                x = nn.LayerNorm(dtype=jnp.float32, name=f"layer_norm_{i}")(x)
+            elif i == 0:
                 x = nn.GroupNorm(num_groups=dim, dtype=jnp.float32, name="group_norm")(x)
-            x = nn.gelu(x)
+            x = _gelu(x)
         return x
 
 
 class TransformerLayer(nn.Module):
+    """Pre-norm ("stable layer norm") transformer layer, wav2vec2-large style."""
+
     config: LaserEncoderConfig
 
     @nn.compact
@@ -101,29 +114,39 @@ class TransformerLayer(nn.Module):
 
         y = nn.LayerNorm(dtype=jnp.float32, name="ffn_norm")(x)
         y = nn.Dense(cfg.encoder_ffn_dim, dtype=dtype, name="ffn_in")(y)
-        y = nn.gelu(y)
+        y = _gelu(y)
         y = nn.Dense(cfg.encoder_dim, dtype=dtype, name="ffn_out")(y)
         return x + y
 
 
 class LaserSpeechEncoder(nn.Module):
-    """wav2vec2-style encoder with LASER max-pooling."""
+    """wav2vec2-large-style encoder with LASER max-pooling.
+
+    Architecture mirrors fairseq/HF wav2vec2 with ``feat_extract_norm=
+    "layer"`` and ``do_stable_layer_norm=True`` (the SpeechLASER / XLSR
+    family): layer-normed conv extractor, feature projection, additive conv
+    positional embedding, pre-norm transformer layers, final encoder norm.
+    Verified numerically equivalent to ``transformers.Wav2Vec2Model`` under
+    converted weights (tests/test_hf_equivalence.py).
+    """
 
     config: LaserEncoderConfig = LaserEncoderConfig()
 
     @nn.compact
-    def __call__(self, waveform: jax.Array, lengths: jax.Array) -> jax.Array:
+    def __call__(
+        self, waveform: jax.Array, lengths: jax.Array, return_hidden: bool = False
+    ):
         """waveform: (B, T) float32 @16 kHz; lengths: (B,) valid samples.
-        Returns (B, encoder_dim) float32 embeddings."""
+        Returns (B, encoder_dim) float32 embeddings (masked max pool), or
+        ((B, frames, dim) hidden states, mask) when ``return_hidden``."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
 
         feats = ConvFeatureExtractor(cfg, name="feature_extractor")(waveform)
         n_frames = feats.shape[1]
 
-        # frame-level validity from sample lengths (320x downsample, VALID)
+        # frame-level validity from sample lengths (VALID convs)
         ds = np.prod([s for _, _, s in cfg.conv_layers])
-        recep = 0
         size = 1
         for _, k, s in reversed(cfg.conv_layers):
             size = (size - 1) * s + k
@@ -134,7 +157,8 @@ class LaserSpeechEncoder(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="post_extract_norm")(feats)
         x = nn.Dense(cfg.encoder_dim, dtype=dtype, name="post_extract_proj")(x)
 
-        # convolutional relative positional embedding
+        # convolutional relative positional embedding (same-padded, the
+        # trailing column dropped for even kernels, as torch)
         pos = nn.Conv(
             features=cfg.encoder_dim,
             kernel_size=(cfg.conv_pos_kernel,),
@@ -143,12 +167,15 @@ class LaserSpeechEncoder(nn.Module):
             dtype=dtype,
             name="pos_conv",
         )(x)
-        pos = nn.gelu(pos[:, : x.shape[1], :])
+        pos = _gelu(pos[:, : x.shape[1], :])
         x = x + pos
-        x = nn.LayerNorm(dtype=jnp.float32, name="encoder_norm")(x)
 
         for i in range(cfg.encoder_layers):
             x = TransformerLayer(cfg, name=f"layer_{i}")(x, mask)
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="encoder_norm")(x)
+        if return_hidden:
+            return x, mask
 
         # LASER pooling: masked max over time
         neg = jnp.finfo(jnp.float32).min

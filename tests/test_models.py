@@ -25,7 +25,8 @@ TINY_SONAR = SonarEncoderConfig(
 
 @pytest.fixture(scope="module")
 def laser():
-    m = SpeechLaserModel(config=TINY_LASER)
+    # small max_tokens keeps padded batch rows small for CPU tests
+    m = SpeechLaserModel(config=TINY_LASER, max_tokens=4 * 32000)
     m.BUCKETS = (16000, 32000)
     return m
 

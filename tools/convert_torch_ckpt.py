@@ -120,6 +120,140 @@ def _map_wav2vec2_key(key: str, arr: np.ndarray):
     return None
 
 
+def map_hf_wav2vec2_state(state: dict, num_heads: int) -> dict:
+    """Map a transformers.Wav2Vec2Model state dict onto the
+    LaserSpeechEncoder parameter tree. Returns {flax 'a/b/c' path: array}.
+
+    Handles both weight-norm layouts of the positional conv
+    (weight_g/weight_v and parametrizations.weight.original0/1).
+    """
+    sd = {k: (v.detach().cpu().float().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in state.items()}
+    out = {}
+
+    # positional conv: recombine weight norm (dim=2)
+    for g_key, v_key in [
+        ("encoder.pos_conv_embed.conv.parametrizations.weight.original0",
+         "encoder.pos_conv_embed.conv.parametrizations.weight.original1"),
+        ("encoder.pos_conv_embed.conv.weight_g", "encoder.pos_conv_embed.conv.weight_v"),
+    ]:
+        if g_key in sd:
+            g, v = sd.pop(g_key), sd.pop(v_key)
+            norm = np.sqrt(np.sum(v * v, axis=(0, 1), keepdims=True))
+            w = g * v / np.maximum(norm, 1e-12)  # (out, in/groups, k)
+            out["pos_conv/kernel"] = np.transpose(w, (2, 1, 0))
+            break
+    if "encoder.pos_conv_embed.conv.bias" in sd:
+        out["pos_conv/bias"] = sd.pop("encoder.pos_conv_embed.conv.bias")
+
+    unmatched = []
+    for k, arr in sd.items():
+        if k == "masked_spec_embed":
+            continue
+        if k.startswith("feature_extractor.conv_layers."):
+            parts = k.split(".")
+            i = parts[2]
+            if parts[3] == "conv":
+                if parts[4] == "weight":
+                    out[f"feature_extractor/conv_{i}/kernel"] = np.transpose(arr, (2, 1, 0))
+                else:
+                    out[f"feature_extractor/conv_{i}/bias"] = arr
+            elif parts[3] == "layer_norm":
+                leaf = "scale" if parts[4] == "weight" else "bias"
+                if i == "0" and f"feature_extractor/layer_norm_1/scale" not in sd:
+                    # may be group norm (base flavor); name decided by config
+                    out.setdefault(f"feature_extractor/layer_norm_{i}/{leaf}", arr)
+                else:
+                    out[f"feature_extractor/layer_norm_{i}/{leaf}"] = arr
+            continue
+        if k.startswith("feature_projection.layer_norm."):
+            leaf = "scale" if k.endswith("weight") else "bias"
+            out[f"post_extract_norm/{leaf}"] = arr
+            continue
+        if k == "feature_projection.projection.weight":
+            out["post_extract_proj/kernel"] = arr.T
+            continue
+        if k == "feature_projection.projection.bias":
+            out["post_extract_proj/bias"] = arr
+            continue
+        if k.startswith("encoder.layer_norm."):
+            leaf = "scale" if k.endswith("weight") else "bias"
+            out[f"encoder_norm/{leaf}"] = arr
+            continue
+        if k.startswith("encoder.layers."):
+            parts = k.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            base = f"layer_{i}"
+            if rest == "layer_norm.weight":
+                out[f"{base}/attn_norm/scale"] = arr
+            elif rest == "layer_norm.bias":
+                out[f"{base}/attn_norm/bias"] = arr
+            elif rest == "final_layer_norm.weight":
+                out[f"{base}/ffn_norm/scale"] = arr
+            elif rest == "final_layer_norm.bias":
+                out[f"{base}/ffn_norm/bias"] = arr
+            elif rest == "feed_forward.intermediate_dense.weight":
+                out[f"{base}/ffn_in/kernel"] = arr.T
+            elif rest == "feed_forward.intermediate_dense.bias":
+                out[f"{base}/ffn_in/bias"] = arr
+            elif rest == "feed_forward.output_dense.weight":
+                out[f"{base}/ffn_out/kernel"] = arr.T
+            elif rest == "feed_forward.output_dense.bias":
+                out[f"{base}/ffn_out/bias"] = arr
+            else:
+                matched = False
+                for proj, name in [("q_proj", "query"), ("k_proj", "key"),
+                                   ("v_proj", "value"), ("out_proj", "out")]:
+                    if rest == f"attention.{proj}.weight":
+                        d = arr.shape[1]
+                        hd = arr.shape[0] // num_heads if name == "out" else d // num_heads
+                        if name == "out":
+                            out[f"{base}/attn/out/kernel"] = arr.T.reshape(
+                                num_heads, arr.shape[1] // num_heads, arr.shape[0]
+                            )
+                        else:
+                            out[f"{base}/attn/{name}/kernel"] = arr.T.reshape(
+                                d, num_heads, d // num_heads
+                            )
+                        matched = True
+                    elif rest == f"attention.{proj}.bias":
+                        if name == "out":
+                            out[f"{base}/attn/out/bias"] = arr
+                        else:
+                            out[f"{base}/attn/{name}/bias"] = arr.reshape(
+                                num_heads, arr.shape[0] // num_heads
+                            )
+                        matched = True
+                if not matched:
+                    unmatched.append(k)
+            continue
+        unmatched.append(k)
+
+    if unmatched:
+        print(f"UNMATCHED ({len(unmatched)}):")
+        for u in unmatched[:40]:
+            print("  ", u)
+    return out
+
+
+def convert_hf_wav2vec2(ckpt_path: str, out_path: str, num_heads: int = 16) -> None:
+    """Convert a transformers Wav2Vec2Model checkpoint directory/file."""
+    import torch
+
+    if Path(ckpt_path).is_dir():
+        from transformers import Wav2Vec2Model
+
+        model = Wav2Vec2Model.from_pretrained(ckpt_path)
+        state = model.state_dict()
+        num_heads = model.config.num_attention_heads
+    else:
+        state = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    out = map_hf_wav2vec2_state(state, num_heads)
+    np.savez(out_path, **out)
+    print(f"wrote {len(out)} tensors to {out_path}")
+
+
 def convert_silero(ckpt_path: str, out_path: str) -> None:
     import torch
 
@@ -139,6 +273,8 @@ if __name__ == "__main__":
     kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     if kind == "wav2vec2":
         convert_wav2vec2(src, dst)
+    elif kind == "hf_wav2vec2":
+        convert_hf_wav2vec2(src, dst)
     elif kind == "silero":
         convert_silero(src, dst)
     else:
