@@ -60,6 +60,9 @@ def parse_args():
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="if set, write a JAX profiler trace of the alignment loop "
                              "here (view with tensorboard / xprof).")
+    parser.add_argument("--pair_batch", type=int, default=1,
+                        help="align this many document pairs per device program "
+                             "(batched pyramid; amortizes host<->device latency).")
     return parser.parse_args()
 
 
@@ -172,7 +175,68 @@ def main():
         profile_ctx = jax.profiler.trace(args.profile_dir)
 
     with profile_ctx:
-        _run_pairs(args, valid_pairs)
+        if args.pair_batch > 1:
+            _run_pairs_batched(args, valid_pairs)
+        else:
+            _run_pairs(args, valid_pairs)
+
+
+def _run_pairs_batched(args, valid_pairs):
+    """Batched path: bucket pairs by size and run the batched pyramid."""
+    import math
+
+    from svecalign_tpu.utils.embedding_utils import make_doc_embedding, read_in_embeddings
+    from svecalign_tpu.vecalign.batch import vecalign_batched
+    from svecalign_tpu.vecalign.vecalign import (
+        load_ignore_index_file,
+        make_alignment_types,
+        print_alignments,
+    )
+
+    types = make_alignment_types(args.alignment_max_size)
+    width_over2 = math.ceil((args.alignment_max_size - 1) / 2.0) + args.search_buffer_size
+
+    loaded = []
+    for pair in valid_pairs:
+        s2i, emb0 = read_in_embeddings(
+            pair.src_concat_path, pair.src_embed_path, args.is_stopes_embed, args.fp16_embed
+        )
+        t2i, emb1 = read_in_embeddings(
+            pair.tgt_concat_path, pair.tgt_embed_path, args.is_stopes_embed, args.fp16_embed
+        )
+        src_lines = open(pair.src_seg_path, encoding="utf-8").readlines()
+        tgt_lines = open(pair.tgt_seg_path, encoding="utf-8").readlines()
+        v0 = make_doc_embedding(
+            s2i, emb0, src_lines, args.alignment_max_size - 1,
+            ignore_indices=load_ignore_index_file(pair.src_ignore_indices)
+            if pair.src_ignore_indices else None,
+            overlap_segments=True,
+        )
+        v1 = make_doc_embedding(
+            t2i, emb1, tgt_lines, args.alignment_max_size - 1,
+            ignore_indices=load_ignore_index_file(pair.tgt_ignore_indices)
+            if pair.tgt_ignore_indices else None,
+            overlap_segments=True,
+        )
+        loaded.append((pair, v0, v1))
+
+    # bucket by size so padding stays modest
+    loaded.sort(key=lambda it: it[1].shape[1] + it[2].shape[1])
+    for start in my_tqdm(range(0, len(loaded), args.pair_batch)):
+        bucket = loaded[start : start + args.pair_batch]
+        results = vecalign_batched(
+            [(v0, v1) for _, v0, v1 in bucket],
+            final_alignment_types=types,
+            del_percentile_frac=args.del_percentile_frac,
+            width_over2=width_over2,
+            max_size_full_dp=args.max_size_full_dp,
+            costs_sample_size=args.costs_sample_size,
+            num_samps_for_norm=args.num_samps_for_norm,
+            seed=args.seed,
+        )
+        for (pair, _, _), (aligns, scores) in zip(bucket, results):
+            with open(pair.output_path, mode="w") as fp:
+                print_alignments(aligns, scores=scores, ofile=fp)
 
 
 def _run_pairs(args, valid_pairs):

@@ -18,10 +18,19 @@ def setup_jax() -> None:
         return
     _done = True
 
+    import jax
+
+    # the axon TPU plugin overrides JAX_PLATFORMS; honor the user's explicit
+    # env choice (e.g. JAX_PLATFORMS=cpu for host-only stages) via config
+    env_platforms = os.environ.get("JAX_PLATFORMS", "")
+    if env_platforms and "axon" not in env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     if os.environ.get("SVECALIGN_NO_COMPILE_CACHE"):
         return
-
-    import jax
 
     cache_dir = os.environ.get(
         "SVECALIGN_CACHE_DIR", str(Path.home() / ".cache" / "svecalign_tpu")
