@@ -44,6 +44,47 @@ def _search_dense(queries: Array, corpus: Array, corpus_sq: Array, k: int):
     return -neg_d, idx
 
 
+@partial(jax.jit, static_argnames=("k", "block"))
+def _search_dense_tiled(queries: Array, corpus: Array, corpus_sq: Array, k: int, block: int):
+    """Streaming exact search: scan corpus blocks, keep a running top-k.
+
+    HBM cost is O(nq * block) instead of O(nq * N) — the big-corpus path.
+    Corpus must be padded to a multiple of ``block`` with corpus_sq = +inf
+    on padding rows.
+    """
+    n_blocks = corpus.shape[0] // block
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+    nq = queries.shape[0]
+
+    corpus_b = corpus.reshape(n_blocks, block, corpus.shape[1])
+    corpus_sq_b = corpus_sq.reshape(n_blocks, block)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        c_blk, csq_blk, blk_id = inp
+        sims = jnp.dot(
+            queries, c_blk.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = q_sq + csq_blk[None, :] - 2.0 * sims
+        neg_d, idx = jax.lax.top_k(-d2, k)
+        cand_d = jnp.concatenate([best_d, -neg_d], axis=1)
+        cand_i = jnp.concatenate([best_i, idx + blk_id * block], axis=1)
+        neg_m, pos = jax.lax.top_k(-cand_d, k)
+        best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (-neg_m, best_i), None
+
+    init = (
+        jnp.full((nq, k), jnp.inf, jnp.float32),
+        jnp.zeros((nq, k), jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init, (corpus_b, corpus_sq_b, jnp.arange(n_blocks, dtype=jnp.int32))
+    )
+    return best_d, best_i
+
+
 class FlatIndex:
     """Exact (Flat) index: the whole corpus lives in device memory.
 
@@ -54,6 +95,7 @@ class FlatIndex:
     def __init__(self, dim: int = 1024):
         self.dim = dim
         self._chunks = []
+        self._device_cache = None  # (corpus, corpus_sq) on device
 
     @property
     def ntotal(self) -> int:
@@ -63,6 +105,7 @@ class FlatIndex:
         vectors = np.asarray(vectors, dtype=np.float32)
         assert vectors.shape[1] == self.dim
         self._chunks.append(vectors)
+        self._device_cache = None
 
     @property
     def corpus(self) -> np.ndarray:
@@ -72,11 +115,40 @@ class FlatIndex:
             self._chunks = [np.concatenate(self._chunks, axis=0)]
         return self._chunks[0]
 
+    # above this many similarity-matrix cells, stream the corpus in blocks
+    TILE_THRESHOLD = 1 << 28
+    BLOCK = 1 << 15
+
+    def _device_corpus(self, tiled: bool):
+        """Upload the corpus (+ padding for the tiled path) once; cache."""
+        if self._device_cache is None:
+            n = self.ntotal
+            if tiled:
+                pad = (-n) % self.BLOCK
+                corpus = np.pad(self.corpus, ((0, pad), (0, 0)))
+                corpus_sq = np.sum(corpus * corpus, axis=1)
+                corpus_sq[n:] = np.inf  # padding rows never win
+            else:
+                corpus = self.corpus
+                corpus_sq = np.sum(corpus * corpus, axis=1)
+            self._device_cache = (jnp.asarray(corpus), jnp.asarray(corpus_sq))
+        return self._device_cache
+
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        corpus = jnp.asarray(self.corpus)
-        corpus_sq = jnp.sum(corpus * corpus, axis=1)
+        queries = jnp.asarray(queries, dtype=jnp.float32)
         k = min(k, self.ntotal)
-        d2, idx = _search_dense(jnp.asarray(queries, dtype=jnp.float32), corpus, corpus_sq, k)
+        tiled = self.ntotal * queries.shape[0] > self.TILE_THRESHOLD
+        corpus, corpus_sq = self._device_corpus(tiled)
+        if not tiled and corpus.shape[0] != self.ntotal:
+            # cache was built padded for the tiled path; reuse it tiled
+            tiled = True
+        if tiled and corpus.shape[0] % self.BLOCK != 0:
+            self._device_cache = None  # rebuild with padding
+            corpus, corpus_sq = self._device_corpus(True)
+        if tiled:
+            d2, idx = _search_dense_tiled(queries, corpus, corpus_sq, k, self.BLOCK)
+        else:
+            d2, idx = _search_dense(queries, corpus, corpus_sq, k)
         return np.asarray(d2), np.asarray(idx)
 
 

@@ -62,7 +62,7 @@ def _downsample_masked(vecs: jax.Array, sizes: jax.Array):
     denom = jnp.maximum(new_sizes, 1).astype(jnp.float32)[:, None, None, None]
     mean = jnp.sum(jnp.where(vmask, half, 0.0), axis=2, keepdims=True) / denom
     half = jnp.where(vmask, half - mean, 0.0)
-    return costs_ops.make_norm1(half) * vmask, new_sizes
+    return costs_ops.make_norm1(half) * vmask
 
 
 _batched_dense_costs = jax.jit(jax.vmap(costs_ops.dense_costs))
@@ -173,30 +173,22 @@ def vecalign_batched(
         s0 //= 2
         s1 //= 2
 
-    stack = {
-        0: {
-            "v0": v0,
-            "v1": v1,
-            "sizes0": jnp.asarray(sizes0),
-            "sizes1": jnp.asarray(sizes1),
-        }
-    }
+    stack = {0: {"v0": v0, "v1": v1, "h_sizes0": sizes0, "h_sizes1": sizes1}}
     for depth in range(1, max_depth + 1):
-        pv0, ps0 = _downsample_masked(
-            stack[depth - 1]["v0"], stack[depth - 1]["sizes0"]
-        )
-        pv1, ps1 = _downsample_masked(
-            stack[depth - 1]["v1"], stack[depth - 1]["sizes1"]
-        )
-        stack[depth] = {"v0": pv0, "v1": pv1, "sizes0": ps0, "sizes1": ps1}
+        prev = stack[depth - 1]
+        stack[depth] = {
+            "v0": _downsample_masked(prev["v0"], jnp.asarray(prev["h_sizes0"])),
+            "v1": _downsample_masked(prev["v1"], jnp.asarray(prev["h_sizes1"])),
+            "h_sizes0": prev["h_sizes0"] // 2,
+            "h_sizes1": prev["h_sizes1"] // 2,
+        }
 
     # per-depth normalizers + deletion penalties
     for depth in stack:
         e = stack[depth]
         e["alignment_types"] = final_alignment_types if depth == 0 else [(1, 1)]
-        h_sizes0 = np.asarray(e["sizes0"])
-        h_sizes1 = np.asarray(e["sizes1"])
-        e["h_sizes0"], e["h_sizes1"] = h_sizes0, h_sizes1
+        h_sizes0 = e["h_sizes0"]
+        h_sizes1 = e["h_sizes1"]
 
         import math
 
@@ -286,8 +278,8 @@ def vecalign_batched(
             x_offsets,
             y_offsets,
             jnp.asarray(e["del_penalty"]),
-            e["sizes0"],
-            e["sizes1"],
+            jnp.asarray(e["h_sizes0"]),
+            jnp.asarray(e["h_sizes1"]),
         )
         # ONE pull for the whole bucket
         csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))

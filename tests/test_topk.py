@@ -173,3 +173,19 @@ def test_margin_scoring_matches_reference_semantics():
         b = ((2 - l2xy[i].mean()) / 2 + (2 - l2yx[i].mean()) / 2) / 2
         want[i] = a / b
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_search_matches_dense(monkeypatch):
+    rng = np.random.default_rng(8)
+    corpus = _random_corpus(rng, 1000)
+    queries = _random_corpus(rng, 33)
+    idx = FlatIndex(dim=64)
+    idx.add(corpus)
+    d_ref, i_ref = idx.search(queries, 7)
+
+    monkeypatch.setattr(FlatIndex, "TILE_THRESHOLD", 1)  # force streaming path
+    monkeypatch.setattr(FlatIndex, "BLOCK", 128)
+    d_got, i_got = idx.search(queries, 7)
+    np.testing.assert_allclose(d_got, d_ref, rtol=1e-4, atol=1e-5)
+    for r in range(33):
+        assert set(i_got[r]) == set(i_ref[r])
