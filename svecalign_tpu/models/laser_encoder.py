@@ -20,7 +20,7 @@ svecalign_tpu/parallel/mesh.py).
 """
 
 import dataclasses
-from functools import partial
+
 from typing import Optional
 
 import flax.linen as nn

@@ -11,8 +11,8 @@ all-reduces.
 """
 
 import dataclasses
-from functools import partial
-from typing import Tuple
+
+
 
 import jax
 import jax.numpy as jnp

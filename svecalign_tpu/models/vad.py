@@ -15,7 +15,7 @@ frame lines @16 kHz):
 """
 
 import dataclasses
-from functools import partial
+
 from typing import List, Optional
 
 import flax.linen as nn

@@ -17,7 +17,7 @@ random vectors), not vector norms.
 
 import math
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

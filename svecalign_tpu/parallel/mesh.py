@@ -12,7 +12,7 @@ Host-level (DCN) sharding keeps the reference's --rank/--n_shard file
 contract (utils/mp_utils.py).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

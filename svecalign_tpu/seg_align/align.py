@@ -63,6 +63,10 @@ def parse_args():
     parser.add_argument("--pair_batch", type=int, default=1,
                         help="align this many document pairs per device program "
                              "(batched pyramid; amortizes host<->device latency).")
+    parser.add_argument("--dp_backend", type=str, default="auto",
+                        choices=["auto", "pallas", "xla", "native"],
+                        help="banded-DP kernel: Pallas VMEM wavefront (TPU), XLA "
+                             "scan, or the C++ float64 host kernel.")
     return parser.parse_args()
 
 
@@ -265,6 +269,7 @@ def _run_pairs(args, valid_pairs):
             src_ignore_indices=pair.src_ignore_indices,
             tgt_ignore_indices=pair.tgt_ignore_indices,
             seed=args.seed,
+            dp_backend=args.dp_backend,
         )
 
 

@@ -18,7 +18,7 @@ percentile target — quality-equivalent, tested in tests/test_batch_align.py).
 """
 
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

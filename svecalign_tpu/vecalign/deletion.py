@@ -7,7 +7,7 @@ runs are reproducible (the knob is a percentile over 20k samples, so seeded
 vs unseeded differ negligibly).
 """
 
-from typing import Tuple
+
 
 import numpy as np
 

@@ -91,6 +91,7 @@ def align(
     print_results: bool = False,
     save_aligned_text_to_file: Optional[str] = None,
     seed: int = 42,
+    dp_backend: str = "auto",
 ):
     """Align a single pair of documents. Returns the DP stack."""
     if verbose:
@@ -149,6 +150,7 @@ def align(
         costs_sample_size=costs_sample_size,
         num_samps_for_norm=num_samps_for_norm,
         seed=seed,
+        dp_backend=dp_backend,
     )
 
     if print_results:

@@ -158,3 +158,23 @@ def test_shard_union_invariance(example_dir, tmp_path):
         start, end = get_shard_range(len(items), 4, rank)
         union.extend(items[start:end])
     assert union == items
+
+
+def test_raw_embed_roundtrip(tmp_path):
+    """SONAR-flavor headerless raw fp16/fp32 .embed format."""
+    import numpy as np
+
+    from svecalign_tpu.utils.embedding_utils import (
+        load_sent_embeddings,
+        write_np_embeddings,
+    )
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((13, 1024)).astype(np.float32)
+    for fp16 in (True, False):
+        path = tmp_path / f"x_{fp16}.embed"
+        write_np_embeddings(emb, str(path), fp16=fp16)
+        back = load_sent_embeddings(str(path), use_stopes=False, fp16_embed=fp16)
+        assert back.shape == (13, 1024) and back.dtype == np.float32
+        tol = 1e-3 if fp16 else 0
+        np.testing.assert_allclose(back, emb, atol=tol)
