@@ -161,7 +161,9 @@ def main():
         if step % 10 == 0 or step == args.steps - 1:
             logger.info(f"step {step}: loss {float(loss):.4f}")
         if mngr is not None and (step + 1) % args.save_every == 0:
-            mngr.save(step + 1, args=__import__("orbax.checkpoint", fromlist=["args"]).args.StandardSave(params))
+            import orbax.checkpoint as ocp
+
+            mngr.save(step + 1, args=ocp.args.StandardSave(params))
 
     if mngr is not None:
         mngr.wait_until_finished()

@@ -69,14 +69,17 @@ def read_flat_index(path: Union[str, Path]) -> np.ndarray:
 
 
 def write_ivf_index(index: IVFIndex, path: Union[str, Path]) -> None:
-    np.savez(
-        path if str(path).endswith(".npz") else str(path),
-        magic=_IVF_MAGIC,
-        centroids=index.centroids,
-        vectors=index._vectors,
-        assignments=index._assignments,
-        nprobe=index.nprobe,
-    )
+    # write through a file object so np.savez cannot append ".npz" and
+    # break the `${type}.populate.idx` filename contract
+    with open(path, "wb") as fp:
+        np.savez(
+            fp,
+            magic=_IVF_MAGIC,
+            centroids=index.centroids,
+            vectors=index._vectors,
+            assignments=index._assignments,
+            nprobe=index.nprobe,
+        )
 
 
 def load_index(

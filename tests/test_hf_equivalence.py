@@ -102,3 +102,50 @@ def test_param_tree_complete(models):
     expected = set(flatten_dict(shapes["params"]).keys())
     got = set(flatten_dict(params["params"]).keys())
     assert expected == got, (expected - got, got - expected)
+
+
+def test_fairseq_key_rename_roundtrip(models):
+    """Inverse-rename the HF state dict into fairseq key names and run the
+    fairseq conversion path; it must yield the identical parameter set."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_torch_ckpt import fairseq_to_hf_key, map_hf_wav2vec2_state
+
+    hf, jmodel, params = models
+    sd = hf.state_dict()
+
+    def hf_to_fairseq(k: str) -> str:
+        # the inverse of the official conversion table (layer-norm mode)
+        k = k.replace("feature_projection.projection.", "post_extract_proj.")
+        k = k.replace("feature_projection.layer_norm.", "layer_norm.")
+        k = k.replace("encoder.pos_conv_embed.conv.", "encoder.pos_conv.0.")
+        k = k.replace(".attention.", ".self_attn.")
+        if k.startswith("encoder.layers.") and ".layer_norm." in k and "final" not in k:
+            k = k.replace(".layer_norm.", ".self_attn_layer_norm.")
+        k = k.replace(".feed_forward.intermediate_dense.", ".fc1.")
+        k = k.replace(".feed_forward.output_dense.", ".fc2.")
+        if k.startswith("feature_extractor.conv_layers."):
+            parts = k.split(".")
+            i, rest = parts[2], ".".join(parts[3:])
+            if rest == "conv.weight":
+                return f"feature_extractor.conv_layers.{i}.0.weight"
+            if rest == "conv.bias":
+                return f"feature_extractor.conv_layers.{i}.0.bias"
+            if rest.startswith("layer_norm."):
+                return f"feature_extractor.conv_layers.{i}.2.1.{rest.split('.')[-1]}"
+        # torch parametrizations name -> classic weight-norm names
+        k = k.replace("parametrizations.weight.original0", "weight_g")
+        k = k.replace("parametrizations.weight.original1", "weight_v")
+        return k
+
+    fairseq_sd = {hf_to_fairseq(k): v for k, v in sd.items()}
+    renamed = {fairseq_to_hf_key(k): v for k, v in fairseq_sd.items()}
+    flat = map_hf_wav2vec2_state(renamed, num_heads=4)
+
+    from flax.traverse_util import flatten_dict
+
+    ref_flat = {"/".join(k): np.asarray(v) for k, v in flatten_dict(params["params"]).items()}
+    assert set(flat) == set(ref_flat), (set(flat) ^ set(ref_flat))
+    for k in flat:
+        np.testing.assert_array_equal(np.asarray(flat[k]), ref_flat[k])

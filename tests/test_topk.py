@@ -132,8 +132,11 @@ def test_ivf_format_roundtrip(tmp_path):
     ivf = IVFIndex(dim=64, nlist=8, nprobe=8)
     ivf.train(corpus)
     ivf.add(corpus)
-    path = tmp_path / "IVF8.populate.idx.npz"
+    # the stage filename contract has NO .npz suffix; the writer must not
+    # let numpy append one
+    path = tmp_path / "IVF8.populate.idx"
     write_ivf_index(ivf, path)
+    assert path.exists() and not (tmp_path / "IVF8.populate.idx.npz").exists()
     back = load_index(path)
     d1, i1 = ivf.search(corpus[:5], 3)
     d2, i2 = back.search(corpus[:5], 3)

@@ -17,7 +17,46 @@ from pathlib import Path
 import numpy as np
 
 
-def convert_wav2vec2(ckpt_path: str, out_path: str) -> None:
+def fairseq_to_hf_key(key: str) -> str:
+    """Rename one fairseq wav2vec2 state key to its transformers
+    (Wav2Vec2Model) equivalent — the same deterministic table HF's official
+    conversion script uses. Handles both extractor norm modes."""
+    k = key
+    for prefix in ("w2v_encoder.w2v_model.", "w2v_model.", "model."):
+        if k.startswith(prefix):
+            k = k[len(prefix):]
+
+    if k.startswith("feature_extractor.conv_layers."):
+        parts = k.split(".")
+        i = parts[2]
+        rest = ".".join(parts[3:])
+        if rest == "0.weight":
+            return f"feature_extractor.conv_layers.{i}.conv.weight"
+        if rest == "0.bias":
+            return f"feature_extractor.conv_layers.{i}.conv.bias"
+        # group mode: Sequential[2] = GroupNorm; layer mode:
+        # Sequential[2] = Sequential(TransposeLast, LayerNorm, TransposeLast)
+        if rest in ("2.weight", "2.bias", "2.1.weight", "2.1.bias"):
+            leaf = rest.rsplit(".", 1)[1]
+            return f"feature_extractor.conv_layers.{i}.layer_norm.{leaf}"
+    if k.startswith("post_extract_proj."):
+        return k.replace("post_extract_proj.", "feature_projection.projection.")
+    if k.startswith("layer_norm."):
+        return k.replace("layer_norm.", "feature_projection.layer_norm.")
+    if k.startswith("encoder.pos_conv.0."):
+        return k.replace("encoder.pos_conv.0.", "encoder.pos_conv_embed.conv.")
+    if k.startswith("encoder.layers."):
+        k = k.replace(".self_attn.", ".attention.")
+        k = k.replace(".self_attn_layer_norm.", ".layer_norm.")
+        k = k.replace(".fc1.", ".feed_forward.intermediate_dense.")
+        k = k.replace(".fc2.", ".feed_forward.output_dense.")
+        return k
+    return k  # encoder.layer_norm.*, masked_spec_embed, ...
+
+
+def convert_wav2vec2(ckpt_path: str, out_path: str, num_heads: int = 16) -> None:
+    """Convert a fairseq wav2vec2 / SpeechLASER checkpoint: rename the keys
+    to transformers form and reuse the (equivalence-tested) HF mapping."""
     import torch
 
     state = torch.load(ckpt_path, map_location="cpu", weights_only=False)
@@ -26,98 +65,10 @@ def convert_wav2vec2(ckpt_path: str, out_path: str) -> None:
     if "state_dict" in state:
         state = state["state_dict"]
 
-    out = {}
-    unmatched = []
-    for key, tensor in state.items():
-        arr = tensor.detach().cpu().float().numpy()
-        new = _map_wav2vec2_key(key, arr)
-        if new is None:
-            unmatched.append(key)
-            continue
-        name, val = new
-        out[name] = val
-
+    renamed = {fairseq_to_hf_key(k): v for k, v in state.items()}
+    out = map_hf_wav2vec2_state(renamed, num_heads)
     np.savez(out_path, **out)
     print(f"wrote {len(out)} tensors to {out_path}")
-    if unmatched:
-        print(f"UNMATCHED ({len(unmatched)}):")
-        for k in unmatched[:40]:
-            print("  ", k)
-
-
-def _map_wav2vec2_key(key: str, arr: np.ndarray):
-    """fairseq wav2vec2 -> LaserSpeechEncoder param paths."""
-    k = key
-    # conv feature extractor: feature_extractor.conv_layers.N.0.weight
-    if "feature_extractor.conv_layers" in k:
-        parts = k.split(".")
-        layer = parts[parts.index("conv_layers") + 1]
-        if k.endswith("0.weight"):  # conv
-            return (
-                f"feature_extractor/conv_{layer}/kernel",
-                np.transpose(arr, (2, 1, 0)),
-            )
-        if "layer_norm" in k or ".2." in k:  # group norm on layer 0
-            leaf = "scale" if k.endswith("weight") else "bias"
-            return (f"feature_extractor/group_norm/{leaf}", arr)
-        return None
-    if k == "post_extract_proj.weight":
-        return ("post_extract_proj/kernel", arr.T)
-    if k == "post_extract_proj.bias":
-        return ("post_extract_proj/bias", arr)
-    if k.startswith("encoder.pos_conv"):
-        if k.endswith("weight_g") or k.endswith("weight_v"):
-            return None  # weight-norm pairs need recombination; handled below
-        if k.endswith("weight"):
-            return ("pos_conv/kernel", np.transpose(arr, (2, 1, 0)))
-        if k.endswith("bias"):
-            return ("pos_conv/bias", arr)
-    if k == "encoder.layer_norm.weight":
-        return ("encoder_norm/scale", arr)
-    if k == "encoder.layer_norm.bias":
-        return ("encoder_norm/bias", arr)
-    if k == "layer_norm.weight":
-        return ("post_extract_norm/scale", arr)
-    if k == "layer_norm.bias":
-        return ("post_extract_norm/bias", arr)
-
-    if k.startswith("encoder.layers."):
-        parts = k.split(".")
-        i = parts[2]
-        rest = ".".join(parts[3:])
-        base = f"layer_{i}"
-        heads = None  # flax MHA uses (embed, heads, head_dim); infer later
-        mapping = {
-            "self_attn_layer_norm.weight": (f"{base}/attn_norm/scale", arr),
-            "self_attn_layer_norm.bias": (f"{base}/attn_norm/bias", arr),
-            "final_layer_norm.weight": (f"{base}/ffn_norm/scale", arr),
-            "final_layer_norm.bias": (f"{base}/ffn_norm/bias", arr),
-            "fc1.weight": (f"{base}/ffn_in/kernel", arr.T),
-            "fc1.bias": (f"{base}/ffn_in/bias", arr),
-            "fc2.weight": (f"{base}/ffn_out/kernel", arr.T),
-            "fc2.bias": (f"{base}/ffn_out/bias", arr),
-        }
-        if rest in mapping:
-            return mapping[rest]
-        for proj, name in [("q_proj", "query"), ("k_proj", "key"),
-                           ("v_proj", "value"), ("out_proj", "out")]:
-            if rest == f"self_attn.{proj}.weight":
-                d = arr.shape[0]
-                heads = 16
-                hd = d // heads
-                if name == "out":
-                    w = arr.T.reshape(heads, hd, d).transpose(0, 1, 2)
-                    return (f"{base}/attn/out/kernel", w)
-                w = arr.T.reshape(d, heads, hd)
-                return (f"{base}/attn/{name}/kernel", w)
-            if rest == f"self_attn.{proj}.bias":
-                d = arr.shape[0]
-                heads = 16
-                hd = d // heads
-                if name == "out":
-                    return (f"{base}/attn/out/bias", arr)
-                return (f"{base}/attn/{name}/bias", arr.reshape(heads, hd))
-    return None
 
 
 def map_hf_wav2vec2_state(state: dict, num_heads: int) -> dict:
@@ -147,8 +98,9 @@ def map_hf_wav2vec2_state(state: dict, num_heads: int) -> dict:
         out["pos_conv/bias"] = sd.pop("encoder.pos_conv_embed.conv.bias")
 
     unmatched = []
+    _ignore = ("masked_spec_embed", "mask_emb", "quantizer.", "project_q.", "final_proj.")
     for k, arr in sd.items():
-        if k == "masked_spec_embed":
+        if k.startswith(_ignore):
             continue
         if k.startswith("feature_extractor.conv_layers."):
             parts = k.split(".")
