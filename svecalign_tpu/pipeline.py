@@ -1,0 +1,192 @@
+"""One-command mining orchestrator: run all 16 stages end to end.
+
+The reference's only orchestration is a bash script of CLI calls
+(reference example/voxpopuli/run.sh); this driver runs the same stage graph
+in-process with the same filesystem contract — every stage still writes the
+standard directory tree, so resume (skip-existing), inspection, and mixing
+with manual CLI runs all keep working. ``--stages`` selects a subset;
+``--rank/--n_shard`` shards the heavy stages across hosts.
+
+CLI: ``python -m svecalign_tpu.pipeline METADATA OUT_DIR --src_lang en
+--tgt_lang de [--stages segment,...,sort] [--vad_model energy]
+[--sl_ckpt_dir D] [--max_cost 0.7] [--pair_batch 8] [...]``
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+from svecalign_tpu.utils.log_utils import logging
+
+logger = logging.getLogger(__name__)
+
+STAGES = [
+    "segment",            # 4.1
+    "untrans_segs",       # 4.2
+    "concat_segs",        # 5.1
+    "untrans_concats",    # 5.2
+    "embed",              # 5.3
+    "align",              # 5.4
+    "filter_cost",        # 6.1
+    "filter_untrans",     # 6.2
+    "concat_aligns",      # 6.3
+    "filter_dur",         # 6.4
+    "embed_align",        # 6.5
+    "prep_index",         # 6.6
+    "score_align",        # 6.7
+    "prep_tsv",           # 6.8
+    "remove_overlaps",    # 6.9
+    "sort",               # 6.10
+]
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("metadata", type=str)
+    parser.add_argument("out_dir", type=str)
+    parser.add_argument("--src_lang", type=str, required=True)
+    parser.add_argument("--tgt_lang", type=str, required=True)
+    parser.add_argument("--stages", type=str, default=",".join(STAGES),
+                        help="comma-separated subset of: " + ",".join(STAGES))
+    parser.add_argument("--rank", type=int, default=0)
+    parser.add_argument("--n_shard", type=int, default=1)
+    # knobs forwarded to the stages (reference defaults)
+    parser.add_argument("--vad_model", type=str, default="energy")
+    parser.add_argument("--vad_ckpt", type=str, default=None)
+    parser.add_argument("--embed_model_type", type=str, default="speech_laser")
+    parser.add_argument("--sl_ckpt_dir", type=str, default=None)
+    parser.add_argument("--src_ckpt_name", type=str, default=None)
+    parser.add_argument("--tgt_ckpt_name", type=str, default=None)
+    parser.add_argument("--alignment_max_size", type=int, default=6)
+    parser.add_argument("--pair_batch", type=int, default=1)
+    parser.add_argument("--max_cost", type=float, default=0.7)
+    parser.add_argument("--max_num_align", type=int, default=3)
+    parser.add_argument("--min_dur", type=float, default=1.0)
+    parser.add_argument("--min_audio_length", type=int, default=2000)
+    parser.add_argument("--mining_threshold", type=float, default=0.0)
+    parser.add_argument("--max_overlap", type=float, default=0.8)
+    return parser.parse_args()
+
+
+def _invoke(module: str, *argv: str) -> None:
+    """Run a stage CLI in-process (same interpreter, shared jit caches)."""
+    import importlib
+
+    logger.info(f">>> {module} {' '.join(argv)}")
+    mod = importlib.import_module(module)
+    old = sys.argv
+    sys.argv = [module.rsplit(".", 1)[1], *argv]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+
+
+def main():
+    args = parse_args()
+    logger.info(args)
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    unknown = set(stages) - set(STAGES)
+    assert not unknown, f"unknown stages: {unknown}"
+
+    out = Path(args.out_dir)
+    meta = args.metadata
+    sl, tl = args.src_lang, args.tgt_lang
+    seg = str(out / "segments")
+    unsegs = str(out / "untrans_segs")
+    cat = str(out / "cat_segs")
+    uncats = str(out / "untrans_cat_seg_ids")
+    emb = str(out / "embeds")
+    ali = str(out / "alignments")
+    ali_c = f"{ali}_{args.max_cost}"
+    ali_cc = f"{ali_c}_clean"
+    ali_cat = f"{ali_cc}_cat{args.max_num_align}"
+    ali_min = f"{ali_cat}_min{args.min_dur:g}s"
+    ali_emb = f"{ali_min}_embed"
+    ali_idx = f"{ali_min}_embed_indexes"
+    ali_mrg = f"{ali_min}_margin"
+    ali_tsv = f"{ali_min}_tsvs"
+    shard = ["--rank", str(args.rank), "--n_shard", str(args.n_shard)]
+    langs = ["--src_lang", sl, "--tgt_lang", tl]
+
+    if "segment" in stages:
+        for lang, tgt in [(sl, []), (tl, ["--use_tgt"])]:
+            _invoke("svecalign_tpu.preprocess.segment", meta, seg, "--lang", lang,
+                    "--vad_model", args.vad_model,
+                    *(["--vad_ckpt", args.vad_ckpt] if args.vad_ckpt else []),
+                    *shard, *tgt)
+    if "untrans_segs" in stages:
+        _invoke("svecalign_tpu.preprocess.detect_untranslate_segs", meta, unsegs,
+                "--seg_dir", seg, *langs)
+    if "concat_segs" in stages:
+        for lang, tgt in [(sl, []), (tl, ["--use_tgt"])]:
+            _invoke("svecalign_tpu.seg_align.concat_segs", meta, cat,
+                    "--seg_dir", seg, "--lang", lang, *tgt)
+    if "untrans_concats" in stages:
+        _invoke("svecalign_tpu.seg_align.detect_untranslate_concats", meta, uncats,
+                "--seg_dir", seg, "--identical_seg_dir", unsegs, *langs)
+    if "embed" in stages:
+        for lang, name, tgt in [(sl, args.src_ckpt_name, []), (tl, args.tgt_ckpt_name, ["--use_tgt"])]:
+            ck = []
+            if args.sl_ckpt_dir and name:
+                ck = ["--sl_ckpt_dir", args.sl_ckpt_dir, "--sl_ckpt_name", name]
+            _invoke("svecalign_tpu.seg_align.embed", meta, emb, "--concat_dir", cat,
+                    "--lang", lang, "--embed_model_type", args.embed_model_type,
+                    *ck, *shard, *tgt)
+    if "align" in stages:
+        _invoke("svecalign_tpu.seg_align.align", meta, ali, *langs,
+                "--seg_dir", seg, "--concat_dir", cat, "--embed_dir", emb,
+                "--is_stopes_embed", "-a", str(args.alignment_max_size),
+                "--ign_indices_dir", uncats, "--pair_batch", str(args.pair_batch))
+    if "filter_cost" in stages:
+        _invoke("svecalign_tpu.postprocess.filter_by_cost", meta, ali_c,
+                "--align_dir", ali, "--max_cost", str(args.max_cost), *langs)
+    if "filter_untrans" in stages:
+        _invoke("svecalign_tpu.postprocess.filter_untrans_align", meta, ali_cc,
+                "--align_dir", ali_c, *langs, "--seg_dir", seg)
+    if "concat_aligns" in stages:
+        _invoke("svecalign_tpu.postprocess.concat_aligns", meta, ali_cat,
+                "--max_num_align", str(args.max_num_align), "--align_dir", ali_cc,
+                "--seg_dir", seg, *langs, "--apply_dur_cond_to_both_sides")
+    if "filter_dur" in stages:
+        _invoke("svecalign_tpu.postprocess.filter_by_dur", meta, ali_min,
+                "--align_dir", ali_cat, "--seg_dir", seg, *langs,
+                "--min_dur", str(args.min_dur))
+    if "embed_align" in stages:
+        for name, tgt in [(args.src_ckpt_name, []), (args.tgt_ckpt_name, ["--use_tgt"])]:
+            ck = []
+            if args.sl_ckpt_dir and name:
+                ck = ["--sl_ckpt_dir", args.sl_ckpt_dir, "--sl_ckpt_name", name]
+            _invoke("svecalign_tpu.postprocess.embed_align", meta, ali_emb, *langs,
+                    "--align_dir", ali_min, "--seg_dir", seg,
+                    "--concat_seg_dir", cat, "--concat_seg_embed_dir", emb,
+                    "--embed_model_type", args.embed_model_type, *ck, *tgt)
+    if "prep_index" in stages:
+        for tgt in ([], ["--use_tgt"]):
+            _invoke("svecalign_tpu.postprocess.prep_index", meta, ali_idx,
+                    "--data_dir", ali_emb, *langs, "--embed_fp16",
+                    "--sample_ratio", "0.5", "--embed_stopes", *tgt)
+    if "score_align" in stages:
+        _invoke("svecalign_tpu.postprocess.score_align", meta, ali_mrg,
+                "--embed_dir", ali_emb, "--align_dir", ali_min, *langs,
+                "--index_dir", ali_idx, "--embed_fp16", "--embed_stopes")
+    if "prep_tsv" in stages:
+        _invoke("svecalign_tpu.postprocess.prep_tsv", meta, ali_tsv, *langs,
+                "--align_dir", ali_mrg, "--seg_dir", seg)
+    if "remove_overlaps" in stages:
+        _invoke("svecalign_tpu.postprocess.remove_overlaps",
+                "--output_dir", f"{ali_tsv}/{sl}-{tl}",
+                "--output_filename", "align.rm_overlap.tsv.gz",
+                "--mining_result_path", f"{ali_tsv}/{sl}-{tl}/align.tsv.gz",
+                "--min_audio_length", str(args.min_audio_length),
+                "--mining_threshold", str(args.mining_threshold),
+                "--max_overlap", str(args.max_overlap))
+    if "sort" in stages:
+        _invoke("svecalign_tpu.postprocess.sort_tsv",
+                "--in_tsv", f"{ali_tsv}/{sl}-{tl}/align.rm_overlap.tsv.gz",
+                "--out_tsv", f"{ali_tsv}/{sl}-{tl}/align.rm_overlap.sort.tsv.gz")
+    logger.info("Pipeline finished!")
+
+
+if __name__ == "__main__":
+    main()
