@@ -32,18 +32,30 @@ logger = logging.getLogger(__name__)
 
 def parse_args():
     parser = argparse.ArgumentParser()
-    parser.add_argument("metadata", type=str,
+    # batch interface: metadata + directories (like every other stage)
+    parser.add_argument("metadata", type=str, nargs="?", default=None,
                         help="the meta file that each line contains paired audio paths")
-    parser.add_argument("out_dir", type=str, help="output dir for wavs + html.")
-    parser.add_argument("--align_dir", type=str, required=True)
-    parser.add_argument("--seg_dir", type=str, required=True)
-    parser.add_argument("--src_lang", type=str, required=True)
-    parser.add_argument("--tgt_lang", type=str, required=True)
+    parser.add_argument("out_dir_pos", type=str, nargs="?", default=None,
+                        help="output dir for wavs + html.")
+    parser.add_argument("--align_dir", type=str, default=None)
+    parser.add_argument("--seg_dir", type=str, default=None)
+    parser.add_argument("--src_lang", type=str, default=None)
+    parser.add_argument("--tgt_lang", type=str, default=None)
+    # per-pair interface (reference analysis/README.md flag surface)
+    parser.add_argument("--align_path", type=str, default=None)
+    parser.add_argument("--src_segs", type=str, default=None)
+    parser.add_argument("--src_wav", type=str, default=None)
+    parser.add_argument("--tgt_segs", type=str, default=None)
+    parser.add_argument("--tgt_wav", type=str, default=None)
+    parser.add_argument("--out_dir", type=str, default=None)
+    parser.add_argument("--asr", dest="with_asr", action="store_true", default=False,
+                        help="transcribe both sides if a whisper package is importable.")
+    parser.add_argument("--whisper_size", type=str, default="medium")
+    parser.add_argument("--whisper_root", type=str, default=None)
+    # shared knobs
     parser.add_argument("--max_rows", type=int, default=None,
                         help="cap the number of dumped alignments per pair.")
     parser.add_argument("--rows_per_page", type=int, default=100)
-    parser.add_argument("--with_asr", action="store_true", default=False,
-                        help="transcribe both sides if a whisper package is importable.")
     return parser.parse_args()
 
 
@@ -105,6 +117,11 @@ def dump(
         aligns = read_alignments(align_path)
         scores = ["-"] * len(aligns)
 
+    # deletions (an empty side) have no audio to dump
+    keep = [i for i, (s, t) in enumerate(aligns) if s and t]
+    aligns = [aligns[i] for i in keep]
+    scores = [scores[i] for i in keep]
+
     src_times, tgt_times, n = alignments_to_timestamps(
         aligns, src_segs, tgt_segs, ignore_empty=False
     )
@@ -152,6 +169,26 @@ def main():
     args = parse_args()
     logger.info(args)
 
+    if args.align_path:  # per-pair interface
+        dump(
+            Path(args.align_path),
+            read_segments(args.src_segs),
+            read_segments(args.tgt_segs),
+            args.src_wav,
+            args.tgt_wav,
+            Path(args.out_dir or args.out_dir_pos or "./dump_out"),
+            args.max_rows,
+            args.rows_per_page,
+            args.with_asr,
+        )
+        logger.info("Finished!")
+        return
+
+    assert args.metadata and (args.out_dir_pos or args.out_dir), (
+        "either --align_path (per-pair) or METADATA OUT_DIR --align_dir "
+        "--seg_dir (batch) must be given"
+    )
+    args.out_dir = args.out_dir_pos or args.out_dir
     all_pairs = read_metadata(args.metadata)
     src_lang, tgt_lang = args.src_lang, args.tgt_lang
     align_dir = Path(args.align_dir) / f"{src_lang}-{tgt_lang}"
