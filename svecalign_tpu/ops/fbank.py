@@ -106,6 +106,9 @@ def _fbank_impl(
     return jnp.log(jnp.maximum(mel, EPSILON))
 
 
+_FRAME_BUCKET = 256  # frames per compiled-shape bucket (zero-padded, sliced)
+
+
 def fbank(
     waveform: np.ndarray,
     sample_rate: int = 16000,
@@ -117,6 +120,9 @@ def fbank(
 
     Accepts (n,) or (channels, n) float arrays (first channel used),
     mirroring the torchaudio kaldi entry point used by the reference.
+    Waveforms are zero-padded so the frame count lands on a bucket boundary
+    (one compiled program per bucket instead of one per unique length); the
+    padded frames are sliced off, leaving the exact per-frame features.
     """
     waveform = np.asarray(waveform, dtype=np.float32)
     if waveform.ndim == 2:
@@ -127,8 +133,13 @@ def fbank(
     n_frames = 0 if n < frame_length else 1 + (n - frame_length) // frame_shift
     if n_frames == 0:
         return np.zeros((0, num_mel_bins), dtype=np.float32)
+
+    frames_pad = -(-n_frames // _FRAME_BUCKET) * _FRAME_BUCKET
+    samples_needed = frame_length + (frames_pad - 1) * frame_shift
+    if samples_needed > n:
+        waveform = np.pad(waveform, (0, samples_needed - n))
     out = _fbank_impl(
-        jnp.asarray(waveform), sample_rate, num_mel_bins, frame_length,
-        frame_shift, n_frames,
+        jnp.asarray(waveform[:samples_needed]), sample_rate, num_mel_bins,
+        frame_length, frame_shift, frames_pad,
     )
-    return np.asarray(out)
+    return np.asarray(out[:n_frames])
