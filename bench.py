@@ -41,8 +41,9 @@ def run_align(n_iters: int = 4):
     src_lines = open(EXAMPLE / f"segments/en/{STEM}_en.txt").readlines()
     tgt_lines = open(EXAMPLE / f"segments/de/{STEM}_de.txt").readlines()
 
-    v0 = make_doc_embedding(src_sent2id, src_emb, src_lines, 5, overlap_segments=True)
-    v1 = make_doc_embedding(tgt_sent2id, tgt_emb, tgt_lines, 5, overlap_segments=True)
+    # fp16 tensors match the production CLI path (halved upload)
+    v0 = make_doc_embedding(src_sent2id, src_emb, src_lines, 5, overlap_segments=True, dtype=np.float16)
+    v1 = make_doc_embedding(tgt_sent2id, tgt_emb, tgt_lines, 5, overlap_segments=True, dtype=np.float16)
     types = make_alignment_types(6)
 
     kwargs = dict(

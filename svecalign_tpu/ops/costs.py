@@ -37,6 +37,13 @@ def make_norm1(vecs: Array, eps: float = 1e-5) -> Array:
 
 
 @jax.jit
+def upcast_norm1(vecs: Array) -> Array:
+    """Upload-friendly entry: cast (possibly fp16) input to fp32 on device,
+    then L2-normalize. Halves host->device transfer for fp16 tensors."""
+    return make_norm1(vecs.astype(jnp.float32))
+
+
+@jax.jit
 def downsample_vectors(vecs: Array) -> Array:
     """Halve the sequence: sum consecutive pairs, remove mean, renormalize.
 

@@ -210,17 +210,21 @@ def _run_pairs_batched(args, valid_pairs):
         )
         src_lines = open(pair.src_seg_path, encoding="utf-8").readlines()
         tgt_lines = open(pair.tgt_seg_path, encoding="utf-8").readlines()
+        import numpy as np
+
         v0 = make_doc_embedding(
             s2i, emb0, src_lines, args.alignment_max_size - 1,
             ignore_indices=load_ignore_index_file(pair.src_ignore_indices)
             if pair.src_ignore_indices else None,
             overlap_segments=True,
+            dtype=np.float16,  # halves upload; device upcasts
         )
         v1 = make_doc_embedding(
             t2i, emb1, tgt_lines, args.alignment_max_size - 1,
             ignore_indices=load_ignore_index_file(pair.tgt_ignore_indices)
             if pair.tgt_ignore_indices else None,
             overlap_segments=True,
+            dtype=np.float16,
         )
         loaded.append((pair, v0, v1))
 

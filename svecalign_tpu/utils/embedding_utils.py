@@ -137,18 +137,20 @@ def make_doc_embedding(
     max_overlaps: int,
     ignore_indices: Optional[Set[Tuple[int, int]]] = None,
     overlap_segments: bool = False,
+    dtype=np.float32,
 ) -> np.ndarray:
     """Build the (max_overlaps, n_lines, dim) overlap tensor.
 
     ``out[j, i+j]`` = embedding of segments i..i+j. Missing keys, PAD markers
     and NaN rows become zero vectors, which prevents those spans from being
-    aligned.
+    aligned. ``dtype=float16`` halves host->device transfer (the source
+    .embed files are fp16 anyway); compute upcasts to fp32 on device.
     """
     lines = [preprocess_line(line) for line in lines]
     embed_dim = line_embeddings.shape[1]
 
     n_miss = n_match = 0
-    out = np.zeros((max_overlaps, len(lines), embed_dim), dtype=np.float32)
+    out = np.zeros((max_overlaps, len(lines), embed_dim), dtype=dtype)
 
     for i in range(len(lines)):
         keys = make_overlap(

@@ -155,15 +155,18 @@ def vecalign_batched(
     n_pad = int(sizes0.max())
     m_pad = int(sizes1.max())
 
-    v0 = np.zeros((P, n_over0, n_pad, dim), dtype=np.float32)
-    v1 = np.zeros((P, n_over1, m_pad, dim), dtype=np.float32)
+    # pad in the pairs' own dtype (fp16 halves the host->device upload);
+    # the normalization jit upcasts to fp32 on device
+    in_dtype = pairs[0][0].dtype
+    v0 = np.zeros((P, n_over0, n_pad, dim), dtype=in_dtype)
+    v1 = np.zeros((P, n_over1, m_pad, dim), dtype=in_dtype)
     for i, (a, b) in enumerate(pairs):
         v0[i, :, : a.shape[1]] = a
         v1[i, :, : b.shape[1]] = b
 
     # normalize; padding rows stay zero (zero norm -> zero vector)
-    v0 = costs_ops.make_norm1(jnp.asarray(v0))
-    v1 = costs_ops.make_norm1(jnp.asarray(v1))
+    v0 = costs_ops.upcast_norm1(jnp.asarray(v0))
+    v1 = costs_ops.upcast_norm1(jnp.asarray(v1))
 
     # shared pyramid depth from the padded shapes
     s0, s1 = n_pad, m_pad

@@ -198,9 +198,10 @@ def vecalign(
     rng = np.random.default_rng(seed)
     runtimes = OrderedDict()
 
-    # normalize inputs on device
-    v0 = costs_ops.make_norm1(jnp.asarray(vecs0, dtype=jnp.float32))
-    v1 = costs_ops.make_norm1(jnp.asarray(vecs1, dtype=jnp.float32))
+    # normalize inputs on device; fp16 inputs upload at half size and
+    # upcast to fp32 on device
+    v0 = costs_ops.upcast_norm1(jnp.asarray(vecs0))
+    v1 = costs_ops.upcast_norm1(jnp.asarray(vecs1))
 
     # pyramid depth: halve until the dense DP fits
     s0, s1 = v0.shape[1], v1.shape[1]

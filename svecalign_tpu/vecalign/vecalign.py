@@ -118,6 +118,14 @@ def align(
     src_sent2id, src_embeddings = read_in_embeddings(src_embed[0], src_embed[1], src_stopes, src_fp16)
     tgt_sent2id, tgt_embeddings = read_in_embeddings(tgt_embed[0], tgt_embed[1], tgt_stopes, tgt_fp16)
 
+    # build the overlap tensors in fp16 (halved upload; the pyramid upcasts
+    # on device). SpeechLASER .embed files are fp16 at the source anyway;
+    # for fp32 sources the DP cost precision is dominated by the 1e-5
+    # normalization epsilon, not the mantissa.
+    import numpy as _np
+
+    doc_dtype = _np.float16
+
     logger.info(f"Aligning src={src} to tgt={tgt}")
 
     src_lines = open(src, "rt", encoding="utf-8").readlines()
@@ -128,6 +136,7 @@ def align(
         src_max_alignment_size,
         ignore_indices=load_ignore_index_file(src_ignore_indices) if src_ignore_indices else None,
         overlap_segments=overlap_segments,
+        dtype=doc_dtype,
     )
 
     tgt_lines = open(tgt, "rt", encoding="utf-8").readlines()
@@ -138,6 +147,7 @@ def align(
         tgt_max_alignment_size,
         ignore_indices=load_ignore_index_file(tgt_ignore_indices) if tgt_ignore_indices else None,
         overlap_segments=overlap_segments,
+        dtype=doc_dtype,
     )
 
     stack = vecalign(
