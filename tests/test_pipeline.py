@@ -1,0 +1,47 @@
+"""The one-command orchestrator: stage subset over committed inputs."""
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+STEM = "20180313-0900-PLENARY-15"
+PAIR = f"{STEM}_en-{STEM}_de"
+
+
+def test_pipeline_subset_reproduces_committed_alignments(example_dir, tmp_path):
+    out = tmp_path / "out"
+    out.mkdir()
+    # seed upstream stages from the committed example
+    for d in ["segments", "untrans_segs", "embeds"]:
+        shutil.copytree(example_dir / d, out / d)
+    meta = tmp_path / "metadata.tsv"
+    meta.write_text(
+        f"{example_dir}/raw_audios/en/{STEM}_en.ogg\t"
+        f"{example_dir}/raw_audios/de/{STEM}_de.ogg\n"
+    )
+
+    env = {"PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu",
+           "PATH": "/usr/bin:/bin:/opt/venv/bin"}
+    subprocess.run(
+        [
+            sys.executable, "-m", "svecalign_tpu.pipeline",
+            str(meta), str(out), "--src_lang", "en", "--tgt_lang", "de",
+            "--stages", "concat_segs,untrans_concats,align,filter_cost",
+        ],
+        check=True, capture_output=True, cwd="/root/repo", env=env,
+    )
+
+    from svecalign_tpu.utils.file_utils import read_alignments
+
+    got = read_alignments(out / "alignments/en-de" / f"{PAIR}.txt")
+    want = read_alignments(example_dir / "alignments/en-de" / f"{PAIR}.txt")
+    got_set = set((tuple(x), tuple(y)) for x, y in got)
+    want_set = set((tuple(x), tuple(y)) for x, y in want)
+    assert got_set == want_set
+
+    # cost filter chained correctly off the alignments
+    filtered = read_alignments(out / "alignments_0.7/en-de" / f"{PAIR}.txt")
+    assert 0 < len(filtered) <= len(got)
