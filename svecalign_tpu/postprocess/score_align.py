@@ -154,7 +154,24 @@ def main():
         tgt_index = ShardedFlatIndex(tgt_index.corpus)
         logger.info("Sharding corpora across the device mesh")
 
+    # batch the queries of many pairs into large chunks: margin scoring is
+    # row-wise, so scores are identical, but each chunk costs ONE search per
+    # direction instead of one per pair
+    CHUNK_ROWS = 65536
     margin_scores = []
+    buf_src, buf_tgt, buf_rows = [], [], 0
+
+    def flush():
+        nonlocal buf_src, buf_tgt, buf_rows
+        if not buf_src:
+            return
+        src = np.concatenate(buf_src, axis=0)
+        tgt = np.concatenate(buf_tgt, axis=0)
+        margin_scores.append(
+            compute_margin(src_index, tgt_index, src, tgt, args.k, args.margin)
+        )
+        buf_src, buf_tgt, buf_rows = [], [], 0
+
     for align_id in my_tqdm(metas):
         src_embed = load_embed_from_tsv(
             embed_dir / f"{align_id}.src.tsv",
@@ -164,9 +181,12 @@ def main():
             embed_dir / f"{align_id}.tgt.tsv",
             fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
         )
-        margin_scores.append(
-            compute_margin(src_index, tgt_index, src_embed, tgt_embed, args.k, args.margin)
-        )
+        buf_src.append(src_embed)
+        buf_tgt.append(tgt_embed)
+        buf_rows += src_embed.shape[0]
+        if buf_rows >= CHUNK_ROWS:
+            flush()
+    flush()
     margin_scores = np.concatenate(margin_scores, axis=0)
 
     logger.info(f"Writing to {out_dir}...")
