@@ -108,11 +108,27 @@ def run_oracle_baseline(stack, v0, v1) -> float:
 
 
 def run_batched(v0, v1, batch: int = 8, n_iters: int = 4) -> float:
-    """Throughput of the batched multi-pair driver (seconds per pair)."""
-    from svecalign_tpu.vecalign.batch import vecalign_batched
+    """Throughput of the batched multi-pair driver (seconds per pair),
+    via the production raw-rows upload path."""
+    from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
+    from svecalign_tpu.vecalign.batch import vecalign_batched_from_rows
     from svecalign_tpu.vecalign.vecalign import make_alignment_types
 
-    pairs = [(v0.copy(), v1.copy()) for _ in range(batch)]
+    s2i, emb0 = read_in_embeddings(
+        str(EXAMPLE / f"cat_segs/en/{STEM}_en.txt"),
+        str(EXAMPLE / f"embeds/en/{STEM}_en.embed"), use_stopes=True,
+    )
+    t2i, emb1 = read_in_embeddings(
+        str(EXAMPLE / f"cat_segs/de/{STEM}_de.txt"),
+        str(EXAMPLE / f"embeds/de/{STEM}_de.embed"), use_stopes=True,
+    )
+    src_lines = open(EXAMPLE / f"segments/en/{STEM}_en.txt").readlines()
+    tgt_lines = open(EXAMPLE / f"segments/de/{STEM}_de.txt").readlines()
+    ids0 = make_doc_ids(s2i, emb0.shape[0], src_lines, 5, overlap_segments=True)
+    ids1 = make_doc_ids(t2i, emb1.shape[0], tgt_lines, 5, overlap_segments=True)
+    e0 = emb0.astype(np.float16)
+    e1 = emb1.astype(np.float16)
+    pairs = [(e0.copy(), ids0.copy(), e1.copy(), ids1.copy()) for _ in range(batch)]
     kwargs = dict(
         final_alignment_types=make_alignment_types(6),
         del_percentile_frac=0.2,
@@ -121,11 +137,11 @@ def run_batched(v0, v1, batch: int = 8, n_iters: int = 4) -> float:
         costs_sample_size=20000,
         num_samps_for_norm=100,
     )
-    vecalign_batched(pairs, **kwargs)  # warmup/compile
+    vecalign_batched_from_rows(pairs, **kwargs)  # warmup/compile
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        vecalign_batched(pairs, **kwargs)
+        vecalign_batched_from_rows(pairs, **kwargs)
         times.append(time.perf_counter() - t0)
     return min(times) / batch
 

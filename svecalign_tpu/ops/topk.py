@@ -152,38 +152,50 @@ class FlatIndex:
         return np.asarray(d2), np.asarray(idx)
 
 
+def shard_corpus(
+    corpus: np.ndarray, mesh: Optional[Mesh] = None, axis: str = "data"
+):
+    """Pad + device_put a corpus row-sharded over the mesh; returns the
+    reusable (mesh, device corpus, device validity mask) triple."""
+    if mesh is None:
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices, (axis,))
+    n_dev = mesh.devices.size
+    n = corpus.shape[0]
+    pad = (-n) % n_dev
+    corpus_p = np.pad(corpus, ((0, pad), (0, 0)))
+    valid = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    corpus_j = jax.device_put(jnp.asarray(corpus_p), NamedSharding(mesh, P(axis, None)))
+    valid_j = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P(axis)))
+    return mesh, corpus_j, valid_j
+
+
 def sharded_search(
     queries: np.ndarray,
     corpus: np.ndarray,
     k: int,
     mesh: Optional[Mesh] = None,
     axis: str = "data",
+    prepared=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN with the corpus sharded row-wise across a device mesh.
 
     Each device holds one corpus shard (HBM-resident), computes its local
     matmul + top-k, then the per-shard candidates are gathered over ICI and
     re-reduced — the TPU equivalent of faiss' ``fp16-shard`` multi-GPU
-    search (reference score_align.py:48-49,205-217).
+    search (reference score_align.py:48-49,205-217). Pass ``prepared`` from
+    :func:`shard_corpus` to reuse the device-resident corpus across calls.
     """
-    if mesh is None:
-        devices = np.array(jax.devices())
-        mesh = Mesh(devices, (axis,))
-
-    n_dev = mesh.devices.size
     n, d = corpus.shape
     k = min(k, n)
-    pad = (-n) % n_dev
-    corpus_p = np.pad(corpus, ((0, pad), (0, 0)))
-    # padded rows get +inf distance via a validity mask
-    valid = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    if prepared is None:
+        prepared = shard_corpus(corpus, mesh, axis)
+    mesh, corpus_j, valid_j = prepared
+    n_dev = mesh.devices.size
 
     queries = jnp.asarray(queries, dtype=jnp.float32)
-    shard = NamedSharding(mesh, P(axis, None))
-    corpus_j = jax.device_put(jnp.asarray(corpus_p), shard)
-    valid_j = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P(axis)))
 
-    per_shard = corpus_p.shape[0] // n_dev
+    per_shard = corpus_j.shape[0] // n_dev
     kk = min(k, per_shard)
 
     @partial(
@@ -226,15 +238,17 @@ class ShardedFlatIndex:
 
     def __init__(self, corpus: np.ndarray, mesh: Optional[Mesh] = None):
         self.corpus = np.asarray(corpus, dtype=np.float32)
-        self.mesh = mesh
         self.dim = self.corpus.shape[1]
+        self._prepared = shard_corpus(self.corpus, mesh)  # device-resident
 
     @property
     def ntotal(self) -> int:
         return self.corpus.shape[0]
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        return sharded_search(queries, self.corpus, min(k, self.ntotal), self.mesh)
+        return sharded_search(
+            queries, self.corpus, min(k, self.ntotal), prepared=self._prepared
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -189,8 +189,10 @@ def _run_pairs_batched(args, valid_pairs):
     """Batched path: bucket pairs by size and run the batched pyramid."""
     import math
 
-    from svecalign_tpu.utils.embedding_utils import make_doc_embedding, read_in_embeddings
-    from svecalign_tpu.vecalign.batch import vecalign_batched
+    import numpy as np
+
+    from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
+    from svecalign_tpu.vecalign.batch import vecalign_batched_from_rows
     from svecalign_tpu.vecalign.vecalign import (
         load_ignore_index_file,
         make_alignment_types,
@@ -210,30 +212,28 @@ def _run_pairs_batched(args, valid_pairs):
         )
         src_lines = open(pair.src_seg_path, encoding="utf-8").readlines()
         tgt_lines = open(pair.tgt_seg_path, encoding="utf-8").readlines()
-        import numpy as np
-
-        v0 = make_doc_embedding(
-            s2i, emb0, src_lines, args.alignment_max_size - 1,
+        # raw fp16 rows + index maps: the overlap tensor is gathered on
+        # device (uploading it materialized repeats every row ~n_overlaps x)
+        ids0 = make_doc_ids(
+            s2i, emb0.shape[0], src_lines, args.alignment_max_size - 1,
             ignore_indices=load_ignore_index_file(pair.src_ignore_indices)
             if pair.src_ignore_indices else None,
             overlap_segments=True,
-            dtype=np.float16,  # halves upload; device upcasts
         )
-        v1 = make_doc_embedding(
-            t2i, emb1, tgt_lines, args.alignment_max_size - 1,
+        ids1 = make_doc_ids(
+            t2i, emb1.shape[0], tgt_lines, args.alignment_max_size - 1,
             ignore_indices=load_ignore_index_file(pair.tgt_ignore_indices)
             if pair.tgt_ignore_indices else None,
             overlap_segments=True,
-            dtype=np.float16,
         )
-        loaded.append((pair, v0, v1))
+        loaded.append((pair, emb0.astype(np.float16), ids0, emb1.astype(np.float16), ids1))
 
     # bucket by size so padding stays modest
-    loaded.sort(key=lambda it: it[1].shape[1] + it[2].shape[1])
+    loaded.sort(key=lambda it: it[2].shape[1] + it[4].shape[1])
     for start in my_tqdm(range(0, len(loaded), args.pair_batch)):
         bucket = loaded[start : start + args.pair_batch]
-        results = vecalign_batched(
-            [(v0, v1) for _, v0, v1 in bucket],
+        results = vecalign_batched_from_rows(
+            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in bucket],
             final_alignment_types=types,
             del_percentile_frac=args.del_percentile_frac,
             width_over2=width_over2,
@@ -242,7 +242,7 @@ def _run_pairs_batched(args, valid_pairs):
             num_samps_for_norm=args.num_samps_for_norm,
             seed=args.seed,
         )
-        for (pair, _, _), (aligns, scores) in zip(bucket, results):
+        for (pair, *_), (aligns, scores) in zip(bucket, results):
             with open(pair.output_path, mode="w") as fp:
                 print_alignments(aligns, scores=scores, ofile=fp)
 

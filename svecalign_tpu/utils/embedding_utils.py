@@ -130,6 +130,33 @@ def make_overlap(
     return res
 
 
+def make_doc_ids(
+    sent2id: Dict[str, int],
+    n_rows: int,
+    lines: List[str],
+    max_overlaps: int,
+    ignore_indices: Optional[Set[Tuple[int, int]]] = None,
+    overlap_segments: bool = False,
+) -> np.ndarray:
+    """Index-map form of :func:`make_doc_embedding`: ``out[j, i+j]`` is the
+    embedding ROW of segments i..i+j, or -1 for missing/PAD. Uploading the
+    raw (n_rows, dim) embedding + this small int map and gathering on device
+    is ~2x cheaper than uploading the materialized overlap tensor (each row
+    appears in several overlap planes)."""
+    lines = [preprocess_line(line) for line in lines]
+    out = np.full((max_overlaps, len(lines)), -1, dtype=np.int32)
+    for i in range(len(lines)):
+        keys = make_overlap(
+            lines, max_overlaps, start_id=i,
+            ignore_indices=ignore_indices, overlap_segments=overlap_segments,
+        )
+        for j, key in enumerate(keys):
+            line_id = None if key == PAD_LABEL else sent2id.get(key)
+            if line_id is not None and 0 <= line_id < n_rows:
+                out[j, i + j] = line_id
+    return out
+
+
 def make_doc_embedding(
     sent2id: Dict[str, int],
     line_embeddings: np.ndarray,

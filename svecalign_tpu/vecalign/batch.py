@@ -125,6 +125,62 @@ def _del_penalty_from_scores(scores: np.ndarray, frac: float) -> float:
     return knob.percentile_frac_to_del_penalty(frac)
 
 
+@jax.jit
+def _build_doc_tensors(emb: jax.Array, ids: jax.Array) -> jax.Array:
+    """(P, rows, d) raw embeddings + (P, n_overlaps, n) row ids (-1 = zero)
+    -> (P, n_overlaps, n, d) fp32 normalized overlap tensors, on device."""
+    gathered = jnp.take_along_axis(
+        emb[:, None].astype(jnp.float32),
+        jnp.maximum(ids, 0)[:, :, :, None],
+        axis=2,
+    )
+    vecs = jnp.where((ids >= 0)[:, :, :, None], gathered, 0.0)
+    return costs_ops.make_norm1(vecs)
+
+
+def vecalign_batched_from_rows(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    **kwargs,
+) -> List[Tuple[List[Alignment], np.ndarray]]:
+    """Like :func:`vecalign_batched`, but each pair is
+    (emb_rows0 (r0, d), ids0 (n_overlaps, n0), emb_rows1, ids1) — raw
+    embedding rows (any float dtype; fp16 halves upload again vs the
+    materialized overlap tensor, which repeats every row ~n_overlaps times)
+    plus make_doc_ids index maps. The overlap tensors are gathered and
+    normalized on device.
+    """
+    P = len(pairs)
+    assert P > 0
+    n_over0 = pairs[0][1].shape[0]
+    n_over1 = pairs[0][3].shape[0]
+    dim = pairs[0][0].shape[1]
+    in_dtype = pairs[0][0].dtype
+
+    r0 = max(p[0].shape[0] for p in pairs)
+    r1 = max(p[2].shape[0] for p in pairs)
+    n_pad = max(p[1].shape[1] for p in pairs)
+    m_pad = max(p[3].shape[1] for p in pairs)
+
+    emb0 = np.zeros((P, r0, dim), dtype=in_dtype)
+    emb1 = np.zeros((P, r1, dim), dtype=in_dtype)
+    ids0 = np.full((P, n_over0, n_pad), -1, dtype=np.int32)
+    ids1 = np.full((P, n_over1, m_pad), -1, dtype=np.int32)
+    for i, (e0, i0, e1, i1) in enumerate(pairs):
+        # NaN rows zero out on host once (reference embedding_utils.py:183-190)
+        e0 = np.where(np.isnan(e0).any(axis=1, keepdims=True), 0, e0)
+        e1 = np.where(np.isnan(e1).any(axis=1, keepdims=True), 0, e1)
+        emb0[i, : e0.shape[0]] = e0
+        emb1[i, : e1.shape[0]] = e1
+        ids0[i, :, : i0.shape[1]] = i0
+        ids1[i, :, : i1.shape[1]] = i1
+
+    v0 = _build_doc_tensors(jnp.asarray(emb0), jnp.asarray(ids0))
+    v1 = _build_doc_tensors(jnp.asarray(emb1), jnp.asarray(ids1))
+    sizes0 = np.array([p[1].shape[1] for p in pairs], dtype=np.int32)
+    sizes1 = np.array([p[3].shape[1] for p in pairs], dtype=np.int32)
+    return _vecalign_batched_core(v0, v1, sizes0, sizes1, **kwargs)
+
+
 def vecalign_batched(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     final_alignment_types: List[Tuple[int, int]],
@@ -141,11 +197,8 @@ def vecalign_batched(
     n_overlaps and dim must agree across the bucket (pad counts differ).
     Returns [(final_alignments, alignment_scores)] per pair.
     """
-    if width_over2 < 3:
-        width_over2 = 3
     P = len(pairs)
     assert P > 0
-    rng = np.random.default_rng(seed)
 
     n_over0 = pairs[0][0].shape[0]
     n_over1 = pairs[0][1].shape[0]
@@ -167,6 +220,37 @@ def vecalign_batched(
     # normalize; padding rows stay zero (zero norm -> zero vector)
     v0 = costs_ops.upcast_norm1(jnp.asarray(v0))
     v1 = costs_ops.upcast_norm1(jnp.asarray(v1))
+    return _vecalign_batched_core(
+        v0, v1, sizes0, sizes1,
+        final_alignment_types=final_alignment_types,
+        del_percentile_frac=del_percentile_frac,
+        width_over2=width_over2,
+        max_size_full_dp=max_size_full_dp,
+        costs_sample_size=costs_sample_size,
+        num_samps_for_norm=num_samps_for_norm,
+        seed=seed,
+    )
+
+
+def _vecalign_batched_core(
+    v0,
+    v1,
+    sizes0: np.ndarray,
+    sizes1: np.ndarray,
+    final_alignment_types: List[Tuple[int, int]],
+    del_percentile_frac: float,
+    width_over2: int,
+    max_size_full_dp: int,
+    costs_sample_size: int,
+    num_samps_for_norm: int,
+    seed: int = 42,
+) -> List[Tuple[List[Alignment], np.ndarray]]:
+    """Shared pyramid over device-resident normalized (P, o, n, d) tensors."""
+    if width_over2 < 3:
+        width_over2 = 3
+    P = v0.shape[0]
+    rng = np.random.default_rng(seed)
+    n_pad, m_pad = v0.shape[2], v1.shape[2]
 
     # shared pyramid depth from the padded shapes
     s0, s1 = n_pad, m_pad
