@@ -74,3 +74,50 @@ def test_native_audio_roundtrip(example_dir, tmp_path):
     n = min(len(back2), len(wav))
     corr = np.corrcoef(back2[:n], wav[:n])[0, 1]
     assert corr > 0.98
+
+
+def test_wav_format_variants(tmp_path):
+    """The native reader handles float32 and stereo PCM16 wavs (scipy as the
+    independent writer)."""
+    from scipy.io import wavfile
+
+    from svecalign_tpu.utils import audio_io
+
+    rng = np.random.default_rng(0)
+    mono = np.clip(0.3 * rng.standard_normal(16000), -0.99, 0.99).astype(np.float32)
+
+    # float32 wav
+    wavfile.write(tmp_path / "f32.wav", 16000, mono)
+    back, sr = audio_io.read(str(tmp_path / "f32.wav"))
+    assert sr == 16000
+    np.testing.assert_allclose(back, mono, atol=1e-6)
+
+    # stereo PCM16
+    stereo = np.stack([mono, -mono], axis=1)
+    wavfile.write(tmp_path / "st.wav", 16000, (stereo * 32767).astype(np.int16))
+    back2, sr2 = audio_io.read(str(tmp_path / "st.wav"))
+    assert sr2 == 16000 and back2.shape == (16000, 2)
+    np.testing.assert_allclose(back2[:, 0], mono, atol=1e-3)
+
+    # sliced read
+    part, _ = audio_io.read(str(tmp_path / "f32.wav"), start=1000, stop=2000)
+    np.testing.assert_allclose(part, mono[1000:2000], atol=1e-6)
+
+
+def test_energy_vad_close_to_silero_on_real_audio(example_dir):
+    """The weight-free energy VAD must land most boundaries near the
+    committed silero-v4 segments on the real plenary audio."""
+    from svecalign_tpu.models.vad import EnergyVAD, get_speech_timestamps
+    from svecalign_tpu.utils.audio_utils import load_waveform
+    from svecalign_tpu.utils.file_utils import read_segments
+
+    wav = load_waveform(str(example_dir / f"raw_audios/en/{STEM}_en.ogg"))
+    got = get_speech_timestamps(wav, EnergyVAD())
+    want = read_segments(example_dir / f"segments/en/{STEM}_en.txt")
+
+    tol = int(0.3 * 16000)
+    matched = 0
+    for s, e in want:
+        if any(abs(g["start"] - s) <= tol and abs(g["end"] - e) <= tol for g in got):
+            matched += 1
+    assert matched / len(want) >= 0.5, f"only {matched}/{len(want)} segments matched"
