@@ -220,11 +220,37 @@ class SpeechLaserModel:
                 "Encoder initialized with RANDOM weights (no --ckpt given); "
                 "embeddings are not meaningful for mining."
             )
-        # keep params resident on the default (TPU) device — repeated
-        # host->device transfer of the full tree dwarfs the forward pass
-        self.params = jax.device_put(self.params)
+        # data-parallel inference: batch rows shard over the mesh's 'data'
+        # axis, params replicate (SURVEY.md section 5.8 — the ICI level the
+        # reference never had). With one device this degrades to a plain jit.
+        if mesh is None and len(jax.devices()) > 1:
+            from svecalign_tpu.parallel.mesh import make_mesh
 
-        self._forward = jax.jit(self.model.apply)
+            mesh = make_mesh()
+        self.mesh = mesh
+
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, replicated)
+            self._forward = jax.jit(
+                self.model.apply,
+                in_shardings=(
+                    jax.tree.map(lambda _: replicated, self.params),
+                    NamedSharding(mesh, P("data", None)),
+                    NamedSharding(mesh, P("data")),
+                ),
+                out_shardings=NamedSharding(mesh, P("data", None)),
+            )
+            self._dp_rows = mesh.shape["data"]
+        else:
+            # keep params resident on the default (TPU) device — repeated
+            # host->device transfer of the full tree dwarfs the forward pass
+            self.params = jax.device_put(self.params)
+            self._forward = jax.jit(self.model.apply)
+            self._dp_rows = 1
 
     def _numpy_init(self, seed: int):
         from svecalign_tpu.models.param_utils import numpy_init
@@ -253,7 +279,10 @@ class SpeechLaserModel:
         return self.BUCKETS[-1]
 
     def _rows_for_bucket(self, bucket: int) -> int:
-        return max(1, self.max_tokens // bucket)
+        rows = max(1, self.max_tokens // bucket)
+        # round up so the batch shards evenly over the data axis
+        dp = getattr(self, "_dp_rows", 1)
+        return -(-rows // dp) * dp
 
     def encode(self, waveforms) -> np.ndarray:
         """Encode a list of 1-D float32 waveforms -> (N, dim) float32.

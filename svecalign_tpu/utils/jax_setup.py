@@ -29,6 +29,23 @@ def setup_jax() -> None:
         except Exception:
             pass
 
+    # multi-host (DCN) initialization: set SVECALIGN_COORDINATOR to
+    # "host:port" (plus SVECALIGN_NUM_PROCESSES / SVECALIGN_PROCESS_ID) to
+    # join a jax.distributed pod; the file-level --rank/--n_shard contract
+    # is unchanged and remains the cross-job sharding mechanism.
+    coord = os.environ.get("SVECALIGN_COORDINATOR")
+    if coord:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ.get("SVECALIGN_NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("SVECALIGN_PROCESS_ID", "0")),
+            )
+        except Exception as e:  # never fatal for single-host runs
+            import logging
+
+            logging.getLogger(__name__).warning(f"jax.distributed init failed: {e}")
+
     if os.environ.get("SVECALIGN_NO_COMPILE_CACHE"):
         return
 

@@ -146,3 +146,31 @@ def test_embed_align_reuse_matches_committed(example_dir):
         else:  # freshly embedded row
             assert ii in miss, ii
     assert len(miss) == sum(1 for p, _ in committed if "embeds/en" not in p)
+
+
+def test_laser_data_parallel_encode_matches_single():
+    """Data-parallel inference over the 8-device mesh must match the
+    single-device result (params replicated, batch sharded)."""
+    import jax
+
+    from svecalign_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(5)
+    wavs = [rng.standard_normal(n).astype(np.float32) for n in (9000, 15000, 30000, 7000)]
+
+    single = SpeechLaserModel(config=TINY_LASER, max_tokens=8 * 32000, seed=3)
+    single.BUCKETS = (16000, 32000)
+    single.mesh = None
+    # force the single-device path regardless of visible devices
+    single.params = jax.device_put(jax.device_get(single.params))
+    single._forward = jax.jit(single.model.apply)
+    single._dp_rows = 1
+    ref = single.encode(wavs)
+
+    dp = SpeechLaserModel(
+        config=TINY_LASER, max_tokens=8 * 32000, seed=3, mesh=make_mesh(model_parallel=1)
+    )
+    dp.BUCKETS = (16000, 32000)
+    got = dp.encode(wavs)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
