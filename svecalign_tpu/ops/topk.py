@@ -259,15 +259,19 @@ class ShardedFlatIndex:
 
 @partial(jax.jit, static_argnames=("n_iter",))
 def _kmeans_iter(data: Array, centroids: Array, n_iter: int):
+    nlist = centroids.shape[0]
+
     def step(c, _):
         sims = jnp.dot(
             data, c.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )
         assign = jnp.argmax(sims, axis=1)
-        one_hot = jax.nn.one_hot(assign, c.shape[0], dtype=jnp.float32)
-        sums = jnp.dot(one_hot.T, data, preferred_element_type=jnp.float32)
-        counts = jnp.sum(one_hot, axis=0)[:, None]
+        # segment_sum instead of a one-hot matmul: avoids materializing the
+        # (n, nlist) assignment matrix
+        sums = jax.ops.segment_sum(data, assign, num_segments=nlist)
+        counts = jax.ops.segment_sum(
+            jnp.ones((data.shape[0],), jnp.float32), assign, num_segments=nlist
+        )[:, None]
         new_c = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), c)
         norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
         new_c = new_c / jnp.maximum(norms, 1e-12)
