@@ -257,6 +257,12 @@ class ShardedFlatIndex:
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _assign_to_centroids(vectors: Array, centroids: Array) -> Array:
+    sims = jnp.dot(vectors, centroids.T, preferred_element_type=jnp.float32)
+    return jnp.argmax(sims, axis=1)
+
+
 @partial(jax.jit, static_argnames=("n_iter",))
 def _kmeans_iter(data: Array, centroids: Array, n_iter: int):
     nlist = centroids.shape[0]
@@ -317,10 +323,10 @@ class IVFIndex:
     def add(self, vectors: np.ndarray) -> None:
         assert self.is_trained, "train the index before adding vectors"
         vectors = np.asarray(vectors, dtype=np.float32)
-        sims = np.asarray(
-            jnp.dot(jnp.asarray(vectors), jnp.asarray(self.centroids).T)
+        # assign on device; only the (n,) id vector comes back to the host
+        assign = np.asarray(
+            _assign_to_centroids(jnp.asarray(vectors), jnp.asarray(self.centroids))
         )
-        assign = sims.argmax(axis=1)
         self._vectors = np.concatenate([self._vectors, vectors])
         self._assignments = np.concatenate([self._assignments, assign])
 
