@@ -331,37 +331,61 @@ class IVFIndex:
         self._assignments = np.concatenate([self._assignments, assign])
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Probe the nprobe nearest lists per query; exact distances within
+        the probed subset. Candidate gathering and scoring are vectorized
+        over the whole query batch in bounded-memory chunks."""
         queries = np.asarray(queries, dtype=np.float32)
+        nq = queries.shape[0]
         nprobe = min(self.nprobe, self.nlist)
         c_sims = np.asarray(
             jnp.dot(jnp.asarray(queries), jnp.asarray(self.centroids).T)
         )
         probe = np.argsort(-c_sims, axis=1)[:, :nprobe]  # (nq, nprobe)
 
-        # gather the union of probed lists per query on host, exact search
-        # per query over its probed subset (host loop; fine for mining-scale
-        # query batches — each batch is one document pair's alignments)
-        d_out = np.full((queries.shape[0], k), np.inf, dtype=np.float32)
-        i_out = np.full((queries.shape[0], k), -1, dtype=np.int64)
         order = np.argsort(self._assignments, kind="stable")
         sorted_assign = self._assignments[order]
         starts = np.searchsorted(sorted_assign, np.arange(self.nlist))
-        ends = np.searchsorted(sorted_assign, np.arange(self.nlist), side="right")
-        for qi in range(queries.shape[0]):
-            ids = np.concatenate(
-                [order[starts[l] : ends[l]] for l in probe[qi]]
-            ) if len(probe[qi]) else np.zeros(0, np.int64)
-            if ids.size == 0:
+        counts = (
+            np.searchsorted(sorted_assign, np.arange(self.nlist), side="right") - starts
+        )
+        corpus_sq = np.sum(self._vectors * self._vectors, axis=1)
+        q_sq = np.sum(queries * queries, axis=1)
+
+        d_out = np.full((nq, k), np.inf, dtype=np.float32)
+        i_out = np.full((nq, k), -1, dtype=np.int64)
+
+        # chunk queries so the candidate row block stays bounded
+        mean_cand = max(int(counts[probe].mean() * nprobe), 1) if nq else 1
+        q_chunk = max(1, int(2_000_000 / mean_cand))
+        for q0 in range(0, nq, q_chunk):
+            qs = slice(q0, min(q0 + q_chunk, nq))
+            p = probe[qs]  # (m, nprobe)
+            cnt = counts[p]  # candidates per (query, list)
+            tot = cnt.sum(axis=1)  # per query
+            if tot.sum() == 0:
                 continue
-            sub = self._vectors[ids]
-            d2 = (
-                np.sum(queries[qi] ** 2)
-                + np.sum(sub * sub, axis=1)
-                - 2.0 * sub @ queries[qi]
+            # flat candidate ids: for each (query, list), the run
+            # order[starts[l] : starts[l]+counts[l]]
+            reps = cnt.ravel()
+            base = np.repeat(starts[p].ravel(), reps)
+            within = np.arange(reps.sum()) - np.repeat(
+                np.cumsum(reps) - reps, reps
             )
-            kk = min(k, ids.size)
-            sel = np.argpartition(d2, kk - 1)[:kk]
-            sel = sel[np.argsort(d2[sel], kind="stable")]
-            d_out[qi, :kk] = d2[sel]
-            i_out[qi, :kk] = ids[sel]
+            cand = order[base + within]  # global row ids, flat
+            q_of = np.repeat(np.arange(p.shape[0]), tot)
+
+            dots = np.einsum(
+                "nd,nd->n", self._vectors[cand], queries[qs][q_of]
+            )
+            d2 = q_sq[qs][q_of] + corpus_sq[cand] - 2.0 * dots
+
+            # per-query top-k via lexsort on (query, distance)
+            sel = np.lexsort((d2, q_of))
+            q_sorted = q_of[sel]
+            rank = np.arange(len(sel)) - np.searchsorted(q_sorted, q_sorted)
+            keep = rank < k
+            rows = q_sorted[keep] + q0
+            cols = rank[keep]
+            d_out[rows, cols] = d2[sel][keep]
+            i_out[rows, cols] = cand[sel][keep]
         return d_out, i_out

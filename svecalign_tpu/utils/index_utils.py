@@ -24,15 +24,16 @@ _IVF_MAGIC = "svecalign_ivf"
 
 def determine_index_type(n_embeddings: int) -> str:
     """Pick an index type by corpus size (role of stopes
-    determine_faiss_index_type, reference prep_index.py:246): exact Flat for
-    anything a few matmuls can sweep, IVF beyond."""
-    if n_embeddings < 100_000:
+    determine_faiss_index_type, reference prep_index.py:246).
+
+    Exact streaming Flat is both faster and exact while the corpus fits one
+    chip's HBM (~2M x 1024 fp32, sweepable at MXU speed); IVF only beyond
+    that, where sharding + clustering start to pay."""
+    if n_embeddings < 2_000_000:
         return "Flat"
-    if n_embeddings < 5_000_000:
-        return "IVF4096"
-    if n_embeddings < 50_000_000:
-        return "IVF65536"
-    return "IVF262144"
+    if n_embeddings < 20_000_000:
+        return "IVF16384"
+    return "IVF131072"
 
 
 def write_flat_index(vectors: np.ndarray, path: Union[str, Path]) -> None:

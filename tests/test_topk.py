@@ -146,9 +146,9 @@ def test_ivf_format_roundtrip(tmp_path):
 
 def test_determine_index_type():
     assert determine_index_type(347) == "Flat"
-    assert determine_index_type(1_000_000) == "IVF4096"
-    assert determine_index_type(10_000_000) == "IVF65536"
-    assert determine_index_type(100_000_000) == "IVF262144"
+    assert determine_index_type(1_000_000) == "Flat"
+    assert determine_index_type(10_000_000) == "IVF16384"
+    assert determine_index_type(100_000_000) == "IVF131072"
 
 
 def test_margin_scoring_matches_reference_semantics():
