@@ -192,7 +192,7 @@ def _run_pairs_batched(args, valid_pairs):
     import numpy as np
 
     from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
-    from svecalign_tpu.vecalign.batch import vecalign_batched_from_rows
+    from svecalign_tpu.vecalign.batch import run_staged, stage_rows_upload
     from svecalign_tpu.vecalign.vecalign import (
         load_ignore_index_file,
         make_alignment_types,
@@ -228,20 +228,34 @@ def _run_pairs_batched(args, valid_pairs):
         )
         loaded.append((pair, emb0.astype(np.float16), ids0, emb1.astype(np.float16), ids1))
 
-    # bucket by size so padding stays modest
+    kwargs = dict(
+        final_alignment_types=types,
+        del_percentile_frac=args.del_percentile_frac,
+        width_over2=width_over2,
+        max_size_full_dp=args.max_size_full_dp,
+        costs_sample_size=args.costs_sample_size,
+        num_samps_for_norm=args.num_samps_for_norm,
+        seed=args.seed,
+    )
+
+    # bucket by size so padding stays modest; double-buffer: bucket i+1's
+    # upload is dispatched (async) before bucket i's compute is consumed
     loaded.sort(key=lambda it: it[2].shape[1] + it[4].shape[1])
-    for start in my_tqdm(range(0, len(loaded), args.pair_batch)):
-        bucket = loaded[start : start + args.pair_batch]
-        results = vecalign_batched_from_rows(
-            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in bucket],
-            final_alignment_types=types,
-            del_percentile_frac=args.del_percentile_frac,
-            width_over2=width_over2,
-            max_size_full_dp=args.max_size_full_dp,
-            costs_sample_size=args.costs_sample_size,
-            num_samps_for_norm=args.num_samps_for_norm,
-            seed=args.seed,
-        )
+    buckets = [
+        loaded[s0 : s0 + args.pair_batch]
+        for s0 in range(0, len(loaded), args.pair_batch)
+    ]
+    staged = stage_rows_upload(
+        [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in buckets[0]]
+    ) if buckets else None
+    for bi in my_tqdm(range(len(buckets))):
+        bucket = buckets[bi]
+        handle = staged
+        if bi + 1 < len(buckets):
+            staged = stage_rows_upload(
+                [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in buckets[bi + 1]]
+            )
+        results = run_staged(handle, **kwargs)
         for (pair, *_), (aligns, scores) in zip(bucket, results):
             with open(pair.output_path, mode="w") as fp:
                 print_alignments(aligns, scores=scores, ofile=fp)

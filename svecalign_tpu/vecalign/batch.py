@@ -138,17 +138,13 @@ def _build_doc_tensors(emb: jax.Array, ids: jax.Array) -> jax.Array:
     return costs_ops.make_norm1(vecs)
 
 
-def vecalign_batched_from_rows(
+def stage_rows_upload(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
-    **kwargs,
-) -> List[Tuple[List[Alignment], np.ndarray]]:
-    """Like :func:`vecalign_batched`, but each pair is
-    (emb_rows0 (r0, d), ids0 (n_overlaps, n0), emb_rows1, ids1) — raw
-    embedding rows (any float dtype; fp16 halves upload again vs the
-    materialized overlap tensor, which repeats every row ~n_overlaps times)
-    plus make_doc_ids index maps. The overlap tensors are gathered and
-    normalized on device.
-    """
+):
+    """Pad a bucket of (emb_rows0, ids0, emb_rows1, ids1) pairs and START
+    the (asynchronous) upload + device-side tensor build. Returns an opaque
+    handle for :func:`run_staged`; uploads overlap with whatever the device
+    is doing (double buffering across buckets)."""
     P = len(pairs)
     assert P > 0
     n_over0 = pairs[0][1].shape[0]
@@ -178,7 +174,27 @@ def vecalign_batched_from_rows(
     v1 = _build_doc_tensors(jnp.asarray(emb1), jnp.asarray(ids1))
     sizes0 = np.array([p[1].shape[1] for p in pairs], dtype=np.int32)
     sizes1 = np.array([p[3].shape[1] for p in pairs], dtype=np.int32)
+    return (v0, v1, sizes0, sizes1)
+
+
+def run_staged(handle, **kwargs) -> List[Tuple[List[Alignment], np.ndarray]]:
+    """Run the batched pyramid on a bucket staged by stage_rows_upload."""
+    v0, v1, sizes0, sizes1 = handle
     return _vecalign_batched_core(v0, v1, sizes0, sizes1, **kwargs)
+
+
+def vecalign_batched_from_rows(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    **kwargs,
+) -> List[Tuple[List[Alignment], np.ndarray]]:
+    """Like :func:`vecalign_batched`, but each pair is
+    (emb_rows0 (r0, d), ids0 (n_overlaps, n0), emb_rows1, ids1) — raw
+    embedding rows (any float dtype; fp16 halves upload again vs the
+    materialized overlap tensor, which repeats every row ~n_overlaps times)
+    plus make_doc_ids index maps. The overlap tensors are gathered and
+    normalized on device.
+    """
+    return run_staged(stage_rows_upload(pairs), **kwargs)
 
 
 def vecalign_batched(
