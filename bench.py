@@ -132,9 +132,11 @@ def run_oracle_baseline(stack, v0, v1) -> float:
     return time.perf_counter() - t0
 
 
-def run_batched(v0, v1, batch: int = 8, n_iters: int = 4) -> float:
+def run_batched(v0, v1, batch: int = 32, n_iters: int = 4) -> float:
     """Throughput of the batched multi-pair driver (seconds per pair),
-    via the production raw-rows upload path."""
+    via the production raw-rows upload path (int8 quantized uploads: the
+    tunnel drops to ~45 MB/s after any D2H transfer, so upload bytes are
+    the steady-state bottleneck)."""
     from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
     from svecalign_tpu.vecalign.batch import vecalign_batched_from_rows
     from svecalign_tpu.vecalign.vecalign import make_alignment_types
@@ -162,12 +164,23 @@ def run_batched(v0, v1, batch: int = 8, n_iters: int = 4) -> float:
         costs_sample_size=20000,
         num_samps_for_norm=100,
     )
-    vecalign_batched_from_rows(pairs, **kwargs)  # warmup/compile
+    from svecalign_tpu.vecalign.batch import run_staged, stage_rows_upload
+
+    vecalign_batched_from_rows(pairs, quantize=True, **kwargs)  # warmup/compile
+
+    # production loop shape (seg_align/align.py): double-buffered — bucket
+    # i+1's (async) upload is dispatched before bucket i's results are pulled
+    n_buckets = 4
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        vecalign_batched_from_rows(pairs, **kwargs)
-        times.append(time.perf_counter() - t0)
+        staged = stage_rows_upload(pairs, quantize=True)
+        for bi in range(n_buckets):
+            handle = staged
+            if bi + 1 < n_buckets:
+                staged = stage_rows_upload(pairs, quantize=True)
+            run_staged(handle, **kwargs)
+        times.append((time.perf_counter() - t0) / n_buckets)
     return min(times) / batch
 
 

@@ -174,42 +174,76 @@ def banded_costs(
     xi_map = np.array([ux.index(int(v)) for v in xo])  # type -> plane slot
     yi_map = np.array([uy.index(int(v)) for v in yo])
 
+    # Windowed-tile formulation: because the search path is a monotone
+    # unit-step path, both x = a - y and y over any run of ``chunk``
+    # anti-diagonals stay inside contiguous windows of W = chunk + bwidth
+    # rows. So per chunk we slice those windows, run ONE dense MXU matmul
+    # over all plane combinations, and gather *scalars* from the small sim
+    # tile — instead of gathering (chunk*B, d) embedding vectors per plane,
+    # which costs ~B/1 more HBM traffic and OOMs at large pair batches.
+    w = chunk + bwidth
+    np0 = max(xsize, w)
+    np1 = max(ysize, w)
+
     v0 = jnp.stack([vecs0[i - 1] for i in ux])  # (nux, N, d)
     v1 = jnp.stack([vecs1[j - 1] for j in uy])  # (nuy, M, d)
     n0 = jnp.stack([norms0[i - 1] for i in ux])  # (nux, N)
     n1 = jnp.stack([norms1[j - 1] for j in uy])
+    if np0 > xsize:
+        v0 = jnp.pad(v0, ((0, 0), (0, np0 - xsize), (0, 0)))
+        n0 = jnp.pad(n0, ((0, 0), (0, np0 - xsize)))
+    if np1 > ysize:
+        v1 = jnp.pad(v1, ((0, 0), (0, np1 - ysize), (0, 0)))
+        n1 = jnp.pad(n1, ((0, 0), (0, np1 - ysize)))
 
-    # pad A to a multiple of chunk for lax.map
+    # pad A to a multiple of chunk for lax.map; replicate the last offset so
+    # band monotonicity (boff steps by 0/1) holds into the padding
     n_chunks = -(-a_len // chunk)
     pad_a = n_chunks * chunk - a_len
-    b_off_pad = jnp.pad(b_offset, (0, pad_a))
+    b_off_pad = jnp.concatenate(
+        [b_offset, jnp.broadcast_to(b_offset[-1], (pad_a,))]
+    ) if pad_a else b_offset
     a_idx = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk)
     b_off_chunks = b_off_pad.reshape(n_chunks, chunk)
 
     band = jnp.arange(bwidth, dtype=jnp.int32)
     type_scale = jnp.asarray(2.0 * xo * yo, dtype=jnp.float32)[:, None, None]
+    nux, nuy = len(ux), len(uy)
 
     def one_chunk(args):
         a_rows, b_rows = args  # (chunk,), (chunk,)
         yy = b_rows[:, None] + band[None, :]  # (chunk, B)
         xx = a_rows[:, None] - yy
         valid = (xx >= 0) & (xx < xsize) & (yy >= 0) & (yy < ysize)
-        xc = jnp.clip(xx, 0, xsize - 1)
-        yc = jnp.clip(yy, 0, ysize - 1)
 
-        g0 = v0[:, xc]  # (nux, chunk, B, d)
-        g1 = v1[:, yc]  # (nuy, chunk, B, d)
+        # window starts (clamped); every in-document band cell of this chunk
+        # lands inside [x0, x0+w) x [y0, y0+w)
+        y0 = jnp.clip(b_rows[0], 0, np1 - w)
+        x0 = jnp.clip(a_rows[0] - b_rows[0] - bwidth + 1, 0, np0 - w)
+
+        xw = jax.lax.dynamic_slice(v0, (0, x0, 0), (nux, w, v0.shape[2]))
+        ywv = jax.lax.dynamic_slice(v1, (0, y0, 0), (nuy, w, v1.shape[2]))
+        n0w = jax.lax.dynamic_slice(n0, (0, x0), (nux, w))
+        n1w = jax.lax.dynamic_slice(n1, (0, y0), (nuy, w))
+
         sim = jnp.einsum(
-            "icbd,jcbd->ijcb",
-            g0,
-            g1,
+            "iwd,jud->ijwu",
+            xw,
+            ywv,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
-        denom = 1e-6 + n0[:, xc][:, None] + n1[:, yc][None, :]  # (nux, nuy, chunk, B)
-        feats = (1.0 - sim) / denom  # type scale applied after indexing
-        feats_t = feats[xi_map, yi_map]  # (T, chunk, B)
-        feats_t = type_scale * feats_t
+        )  # (nux, nuy, w, w)
+
+        ix = jnp.clip((xx - x0).reshape(-1), 0, w - 1)  # (chunk*B,)
+        iy = jnp.clip((yy - y0).reshape(-1), 0, w - 1)
+        sims_cb = jnp.take(sim.reshape(nux, nuy, w * w), ix * w + iy, axis=2)
+        denom = (
+            1e-6
+            + jnp.take(n0w, ix, axis=1)[:, None]
+            + jnp.take(n1w, iy, axis=1)[None, :]
+        )  # (nux, nuy, chunk*B)
+        feats_t = ((1.0 - sims_cb) / denom)[xi_map, yi_map]  # (T, chunk*B)
+        feats_t = (type_scale * feats_t.reshape(-1, chunk, bwidth))
         return jnp.where(valid[None], feats_t, jnp.inf)
 
     out = jax.lax.map(one_chunk, (a_idx, b_off_chunks))  # (n_chunks, T, chunk, B)

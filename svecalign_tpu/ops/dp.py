@@ -110,7 +110,9 @@ def dense_dp(costs: Array, pen: Array) -> Tuple[Array, Array]:
         bp = jnp.where((r_idx == 0) & (c == 0), 4, bp)
 
         val = jnp.where(on_grid, val, inf)
-        bp = jnp.where(on_grid, bp, -1).astype(jnp.int32)
+        # int8 backpointers: 4x less D2H traffic (the tunnel is the
+        # bottleneck, CLAUDE.md); values are in {-1, 0, 1, 2, 4}
+        bp = jnp.where(on_grid, bp, -1).astype(jnp.int8)
         return (val, p1), (val, bp)
 
     p0 = jnp.full((rmax,), inf)
@@ -170,6 +172,7 @@ def banded_dp(
     yo = np.concatenate([np.asarray(y_offsets, np.int32), [1, 0]])
     span = xo + yo  # lookback distance in a per type
     K = int(span.max())  # ring-buffer depth
+    bp_dtype = jnp.int8 if int(max(xo.max(), yo.max())) <= 127 else jnp.int32
     P = K + 1  # band padding for predecessor shifts (|shift| <= K)
     n_types = len(xo)
     is_indel = (xo == 0) | (yo == 0)
@@ -248,7 +251,9 @@ def banded_dp(
 
         new_padded = jnp.full((B + 2 * P,), inf).at[P : P + B].set(val)
         ring = ring.at[aa % K].set(new_padded)
-        return ring, (val, xp.astype(jnp.int32), yp.astype(jnp.int32))
+        # small backpointers (int8 unless a type offset exceeds 127):
+        # 4x less D2H traffic over the tunnel
+        return ring, (val, xp.astype(bp_dtype), yp.astype(bp_dtype))
 
     ring0 = jnp.full((K, B + 2 * P), inf, dtype=jnp.float32)
     _, (csum, xp, yp) = jax.lax.scan(step, ring0, jnp.arange(A + 2, dtype=jnp.int32))

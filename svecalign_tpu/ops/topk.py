@@ -287,12 +287,77 @@ def _kmeans_iter(data: Array, centroids: Array, n_iter: int):
     return out
 
 
+@partial(jax.jit, static_argnames=("nprobe", "block"))
+def _ivf_probe_and_blocks(queries, centroids, row_list, nprobe, block):
+    """Probe the nprobe nearest lists per query and mark which corpus
+    blocks (of ``block`` rows, corpus sorted by list) hold candidates."""
+    c_sims = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(c_sims, nprobe)  # (m, nprobe)
+    nlist = centroids.shape[0]
+    m = queries.shape[0]
+    probe_mask = (
+        jnp.zeros((m, nlist), jnp.bool_)
+        .at[jnp.arange(m)[:, None], probe]
+        .set(True)
+    )
+    mask_any = jnp.any(probe_mask, axis=0)  # (nlist,)
+    rows_needed = jnp.where(row_list >= 0, mask_any[jnp.maximum(row_list, 0)], False)
+    block_needed = jnp.any(rows_needed.reshape(-1, block), axis=1)
+    return probe_mask, block_needed, jnp.sum(block_needed.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("k", "n_blocks", "block"))
+def _ivf_gather_search(
+    queries, probe_mask, block_needed, vec_blocks, sq_blocks, list_blocks,
+    id_blocks, k, n_blocks, block,
+):
+    """Gather the ``n_blocks`` needed corpus blocks and score them densely.
+
+    The last block of each *_blocks array is an all-padding block
+    (sq=+inf, list=-1, id=-1) that absorbs the nonzero fill.
+    """
+    pad_block = vec_blocks.shape[0] - 1
+    (blocks,) = jnp.nonzero(block_needed, size=n_blocks, fill_value=pad_block)
+    cand_v = vec_blocks[blocks].reshape(-1, vec_blocks.shape[-1])  # (G*B, d)
+    cand_sq = sq_blocks[blocks].reshape(-1)
+    cand_list = list_blocks[blocks].reshape(-1)
+    cand_id = id_blocks[blocks].reshape(-1)
+
+    sims = jnp.dot(
+        queries, cand_v.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+    d2 = q_sq + cand_sq[None, :] - 2.0 * sims
+    probed = (cand_list[None, :] >= 0) & jnp.take(
+        probe_mask, jnp.maximum(cand_list, 0), axis=1
+    )
+    d2 = jnp.where(probed, d2, jnp.inf)
+    neg_d, pos = jax.lax.top_k(-d2, k)
+    ids = cand_id[pos]
+    return jnp.where(jnp.isinf(-neg_d), jnp.inf, -neg_d), jnp.where(
+        jnp.isinf(-neg_d), -1, ids
+    )
+
+
 class IVFIndex:
     """Inverted-file index: k-means centroids + per-list storage.
 
     Training (Lloyd iterations) and search (centroid matmul -> probe lists
-    -> exact top-k within the probed subset) both run on device.
+    -> exact top-k within the probed subset) both run on device. Large
+    query batches take a fully device-side path: the corpus lives on device
+    sorted by list, probed lists map to contiguous blocks, and only the
+    needed blocks are gathered into one dense matmul + top-k per chunk
+    (replaces the reference's faiss IVF GPU search,
+    postprocess/score_align.py:41-49).
     """
+
+    # device path constants: corpus block rows, query chunk rows
+    BLOCK = 512
+    QUERY_CHUNK = 512
+    # dispatch: use the device path for query batches at least this large
+    DEVICE_MIN_QUERIES = 256
 
     def __init__(self, dim: int = 1024, nlist: int = 1024, nprobe: int = 128):
         self.dim = dim
@@ -301,6 +366,7 @@ class IVFIndex:
         self.centroids: Optional[np.ndarray] = None
         self._vectors = np.zeros((0, dim), dtype=np.float32)
         self._assignments = np.zeros((0,), dtype=np.int64)
+        self._device_state = None
 
     @property
     def ntotal(self) -> int:
@@ -329,12 +395,88 @@ class IVFIndex:
         )
         self._vectors = np.concatenate([self._vectors, vectors])
         self._assignments = np.concatenate([self._assignments, assign])
+        self._device_state = None
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Probe the nprobe nearest lists per query; exact distances within
-        the probed subset. Candidate gathering and scoring are vectorized
-        over the whole query batch in bounded-memory chunks."""
+    def _build_device_state(self):
+        """Sort the corpus by list, pad to whole blocks (+1 all-padding
+        block), and upload everything once; reused across searches."""
+        order = np.argsort(self._assignments, kind="stable")
+        n = self._vectors.shape[0]
+        bs = self.BLOCK
+        n_pad = ((n + bs - 1) // bs + 1) * bs  # +1 trailing pad block
+        vec = np.zeros((n_pad, self.dim), np.float32)
+        vec[:n] = self._vectors[order]
+        sq = np.full((n_pad,), np.inf, np.float32)
+        sq[:n] = np.sum(vec[:n] * vec[:n], axis=1)
+        row_list = np.full((n_pad,), -1, np.int32)
+        row_list[:n] = self._assignments[order].astype(np.int32)
+        ids = np.full((n_pad,), -1, np.int32)
+        ids[:n] = order.astype(np.int32)
+        nb = n_pad // bs
+        self._device_state = dict(
+            vec_blocks=jnp.asarray(vec.reshape(nb, bs, self.dim)),
+            sq_blocks=jnp.asarray(sq.reshape(nb, bs)),
+            list_blocks=jnp.asarray(row_list.reshape(nb, bs)),
+            id_blocks=jnp.asarray(ids.reshape(nb, bs)),
+            row_list=jnp.asarray(row_list),
+            centroids=jnp.asarray(self.centroids),
+            n_blocks=nb,
+        )
+        return self._device_state
+
+    def search_device(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fully device-side IVF search for large query batches.
+
+        Per query chunk: probe lists on device, gather only the corpus
+        blocks that hold probed candidates (padded to a power-of-two block
+        count so compile count stays bounded), one dense matmul + masked
+        top-k. Only the needed-block count crosses to the host between the
+        two programs."""
         queries = np.asarray(queries, dtype=np.float32)
+        nq = queries.shape[0]
+        st = self._device_state or self._build_device_state()
+        nprobe = min(self.nprobe, self.nlist)
+        bs = self.BLOCK
+        nb = st["n_blocks"]
+        d_out = np.full((nq, k), np.inf, dtype=np.float32)
+        i_out = np.full((nq, k), -1, dtype=np.int64)
+        chunk = self.QUERY_CHUNK
+        for q0 in range(0, nq, chunk):
+            q = queries[q0 : q0 + chunk]
+            m = q.shape[0]
+            if m < chunk:
+                q = np.pad(q, ((0, chunk - m), (0, 0)))
+            qj = jnp.asarray(q)
+            probe_mask, block_needed, count = _ivf_probe_and_blocks(
+                qj, st["centroids"], st["row_list"], nprobe, bs
+            )
+            g = max(int(count), 1)  # scalar pull; picks the program variant
+            g = min(1 << (g - 1).bit_length(), nb)
+            kk = min(k, g * bs)
+            d2, ids = _ivf_gather_search(
+                qj, probe_mask, block_needed,
+                st["vec_blocks"], st["sq_blocks"], st["list_blocks"],
+                st["id_blocks"], kk, g, bs,
+            )
+            d2, ids = np.asarray(d2[:m, :kk]), np.asarray(ids[:m, :kk])
+            d_out[q0 : q0 + m, :kk] = d2
+            i_out[q0 : q0 + m, :kk] = ids
+        return d_out, i_out
+
+    def search(
+        self, queries: np.ndarray, k: int, use_device: Optional[bool] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Probe the nprobe nearest lists per query; exact distances within
+        the probed subset. Large query batches run fully on device
+        (:meth:`search_device`); small ones are vectorized on host in
+        bounded-memory chunks (a device roundtrip would not amortize)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if use_device is None:
+            use_device = queries.shape[0] >= self.DEVICE_MIN_QUERIES
+        if use_device and self.ntotal:
+            return self.search_device(queries, k)
         nq = queries.shape[0]
         nprobe = min(self.nprobe, self.nlist)
         c_sims = np.asarray(

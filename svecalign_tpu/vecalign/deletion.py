@@ -17,6 +17,9 @@ from svecalign_tpu.utils.log_utils import logging
 logger = logging.getLogger(__name__)
 
 
+NUM_BINS = 1000
+
+
 class DeletionKnob:
     """Map a percentile fraction to a deletion penalty via a sampled-cost CDF."""
 
@@ -27,19 +30,39 @@ class DeletionKnob:
             logger.warning("res_max <= res_min, increasing it")
             self.res_max = self.res_min + 1e-4
 
-        num_bins = 1000
-        num_pts = 30
-
         self.hist, self.bin_edges = np.histogram(
-            samp, bins=num_bins, range=[self.res_min, self.res_max], density=True
+            samp, bins=NUM_BINS, range=[self.res_min, self.res_max], density=True
         )
         dx = self.bin_edges[1] - self.bin_edges[0]
         self.cdf = np.cumsum(self.hist) * dx
+        self._build_interp()
 
+    @classmethod
+    def from_histogram(
+        cls, counts: np.ndarray, res_min: float, res_max: float
+    ) -> "DeletionKnob":
+        """Build from precomputed NUM_BINS bin counts over [res_min, res_max]
+        (e.g. histogrammed on device so only 1000 ints cross the tunnel, not
+        the 20k sampled scores). ``cumsum(hist)*dx`` with density=True equals
+        ``cumsum(counts)/total``, so the CDF — and hence the knob — matches
+        the sample constructor up to bin-edge float rounding."""
+        self = cls.__new__(cls)
+        self.res_min = res_min
+        self.res_max = res_max
+        if self.res_min >= self.res_max:
+            self.res_max = self.res_min + 1e-4
+        counts = np.asarray(counts, dtype=np.float64)
+        total = counts.sum()
+        self.cdf = np.cumsum(counts) / (total if total > 0 else 1.0)
+        self._build_interp()
+        return self
+
+    def _build_interp(self):
+        num_pts = 30
         interp_points = [(0, self.res_min)]
         for knob_val in np.linspace(0, 1, num_pts - 1)[1:-1]:
             cdf_idx = np.searchsorted(self.cdf, knob_val)
-            cdf_val = self.res_min + cdf_idx / float(num_bins) * (
+            cdf_val = self.res_min + cdf_idx / float(NUM_BINS) * (
                 self.res_max - self.res_min
             )
             interp_points.append((knob_val, cdf_val))

@@ -117,3 +117,52 @@ def test_batched_example_pair_matches_committed(example_dir):
         res = score_multiple([gold], [aligns])
         assert res["f1_strict"] >= 0.57, res
         assert res["f1_lax"] >= 0.95, res
+
+
+def test_batched_int8_upload_matches_committed(example_dir):
+    """The int8-quantized upload path (raw rows + device gather) must keep
+    the committed-example quality gate and agree with the fp16 path on
+    nearly every alignment."""
+    from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
+    from svecalign_tpu.utils.file_utils import read_alignments
+    from svecalign_tpu.vecalign.batch import vecalign_batched_from_rows
+    from svecalign_tpu.vecalign.vecalign import make_alignment_types
+
+    stem = "20180313-0900-PLENARY-15"
+    s2i, emb0 = read_in_embeddings(
+        str(example_dir / f"cat_segs/en/{stem}_en.txt"),
+        str(example_dir / f"embeds/en/{stem}_en.embed"),
+        use_stopes=True,
+    )
+    t2i, emb1 = read_in_embeddings(
+        str(example_dir / f"cat_segs/de/{stem}_de.txt"),
+        str(example_dir / f"embeds/de/{stem}_de.embed"),
+        use_stopes=True,
+    )
+    src_lines = open(example_dir / f"segments/en/{stem}_en.txt").readlines()
+    tgt_lines = open(example_dir / f"segments/de/{stem}_de.txt").readlines()
+    ids0 = make_doc_ids(s2i, emb0.shape[0], src_lines, 5, overlap_segments=True)
+    ids1 = make_doc_ids(t2i, emb1.shape[0], tgt_lines, 5, overlap_segments=True)
+    e0 = emb0.astype(np.float16)
+    e1 = emb1.astype(np.float16)
+    kw = dict(
+        final_alignment_types=make_alignment_types(6),
+        del_percentile_frac=0.2,
+        width_over2=8,
+        max_size_full_dp=300,
+        costs_sample_size=20000,
+        num_samps_for_norm=100,
+    )
+    pairs = [(e0, ids0, e1, ids1)]
+    (fp16_aligns, _), = vecalign_batched_from_rows(pairs, quantize=False, **kw)
+    (int8_aligns, _), = vecalign_batched_from_rows(pairs, quantize=True, **kw)
+
+    gold = read_alignments(str(example_dir / f"{stem}.gold"))
+    res = score_multiple([gold], [int8_aligns])
+    assert res["f1_strict"] >= 0.57, res
+    assert res["f1_lax"] >= 0.95, res
+
+    a = set((tuple(x), tuple(y)) for x, y in fp16_aligns)
+    b = set((tuple(x), tuple(y)) for x, y in int8_aligns)
+    overlap = len(a & b) / max(len(a), 1)
+    assert overlap >= 0.9, (overlap, len(a), len(b))

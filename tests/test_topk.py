@@ -104,6 +104,46 @@ def test_ivf_partial_probe_recall():
     assert recall >= 0.9, recall
 
 
+def test_ivf_device_path_matches_host():
+    """The fully device-side batch search must agree with the host
+    (numpy) path on the same probed lists — same distances, same id sets."""
+    rng = np.random.default_rng(7)
+    corpus = _random_corpus(rng, 3000)
+    queries = _random_corpus(rng, 700)  # > DEVICE_MIN_QUERIES, spans 2 chunks
+
+    ivf = IVFIndex(dim=64, nlist=32, nprobe=6)
+    ivf.train(corpus[:1000])
+    ivf.add(corpus)
+
+    d_host, i_host = ivf.search(queries, 5, use_device=False)
+    d_dev, i_dev = ivf.search(queries, 5, use_device=True)
+
+    np.testing.assert_allclose(d_dev, d_host, rtol=1e-4, atol=1e-5)
+    for r in range(queries.shape[0]):
+        # -1 padding (fewer than k candidates) must agree too
+        assert set(i_dev[r]) == set(i_host[r]), r
+
+
+def test_ivf_device_path_tiny_lists():
+    """k larger than the probed candidate count: both paths pad with
+    (+inf, -1) like faiss."""
+    rng = np.random.default_rng(8)
+    corpus = _random_corpus(rng, 40)
+    queries = _random_corpus(rng, 4)
+    ivf = IVFIndex(dim=64, nlist=16, nprobe=1)
+    ivf.train(corpus)
+    ivf.add(corpus)
+    d_host, i_host = ivf.search(queries, 10, use_device=False)
+    d_dev, i_dev = ivf.search(queries, 10, use_device=True)
+    np.testing.assert_array_equal(i_dev == -1, i_host == -1)
+    np.testing.assert_allclose(
+        np.where(np.isinf(d_dev), 0, d_dev),
+        np.where(np.isinf(d_host), 0, d_host),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.isinf(d_dev), np.isinf(d_host))
+
+
 def test_faiss_flat_format_roundtrip(tmp_path):
     rng = np.random.default_rng(5)
     corpus = _random_corpus(rng, 37, 1024)
