@@ -168,19 +168,24 @@ def run_batched(v0, v1, batch: int = 32, n_iters: int = 4) -> float:
 
     vecalign_batched_from_rows(pairs, quantize=True, **kwargs)  # warmup/compile
 
-    # production loop shape (seg_align/align.py): double-buffered — bucket
-    # i+1's (async) upload is dispatched before bucket i's results are pulled
+    # production loop shape (seg_align/align.py): double-buffered with the
+    # staging on a worker thread — in the tunnel's post-D2H mode device_put
+    # BLOCKS the calling thread, so same-thread staging would serialize
+    # uploads with compute
+    from concurrent.futures import ThreadPoolExecutor
+
     n_buckets = 4
     times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        staged = stage_rows_upload(pairs, quantize=True)
-        for bi in range(n_buckets):
-            handle = staged
-            if bi + 1 < n_buckets:
-                staged = stage_rows_upload(pairs, quantize=True)
-            run_staged(handle, **kwargs)
-        times.append((time.perf_counter() - t0) / n_buckets)
+    with ThreadPoolExecutor(1) as ex:
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            fut = ex.submit(stage_rows_upload, pairs, True)
+            for bi in range(n_buckets):
+                handle = fut.result()
+                if bi + 1 < n_buckets:
+                    fut = ex.submit(stage_rows_upload, pairs, True)
+                run_staged(handle, **kwargs)
+            times.append((time.perf_counter() - t0) / n_buckets)
     return min(times) / batch
 
 

@@ -250,22 +250,30 @@ def _run_pairs_batched(args, valid_pairs):
         loaded[s0 : s0 + args.pair_batch]
         for s0 in range(0, len(loaded), args.pair_batch)
     ]
+    # staging (pad + quantize + device_put) runs on a worker thread: in the
+    # tunnel's post-D2H mode device_put blocks its calling thread, so
+    # same-thread staging would serialize bucket i+1's upload with bucket
+    # i's compute instead of overlapping them
+    from concurrent.futures import ThreadPoolExecutor
+
     quant = args.upload_quant == "int8"
-    staged = stage_rows_upload(
-        [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in buckets[0]], quantize=quant
-    ) if buckets else None
-    for bi in my_tqdm(range(len(buckets))):
-        bucket = buckets[bi]
-        handle = staged
-        if bi + 1 < len(buckets):
-            staged = stage_rows_upload(
-                [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in buckets[bi + 1]],
-                quantize=quant,
-            )
-        results = run_staged(handle, **kwargs)
-        for (pair, *_), (aligns, scores) in zip(bucket, results):
-            with open(pair.output_path, mode="w") as fp:
-                print_alignments(aligns, scores=scores, ofile=fp)
+
+    def stage(bucket):
+        return stage_rows_upload(
+            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in bucket], quantize=quant
+        )
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(stage, buckets[0]) if buckets else None
+        for bi in my_tqdm(range(len(buckets))):
+            bucket = buckets[bi]
+            handle = fut.result()
+            if bi + 1 < len(buckets):
+                fut = ex.submit(stage, buckets[bi + 1])
+            results = run_staged(handle, **kwargs)
+            for (pair, *_), (aligns, scores) in zip(bucket, results):
+                with open(pair.output_path, mode="w") as fp:
+                    print_alignments(aligns, scores=scores, ofile=fp)
 
 
 def _run_pairs(args, valid_pairs):

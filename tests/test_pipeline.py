@@ -45,3 +45,33 @@ def test_pipeline_subset_reproduces_committed_alignments(example_dir, tmp_path):
     # cost filter chained correctly off the alignments
     filtered = read_alignments(out / "alignments_0.7/en-de" / f"{PAIR}.txt")
     assert 0 < len(filtered) <= len(got)
+
+def test_batched_align_cli_int8(example_dir, tmp_path):
+    """The --pair_batch/--upload_quant CLI path: threaded staging + int8
+    uploads must reproduce the committed alignment set (near-)exactly."""
+    out = tmp_path / "alignments"
+    env = {"PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu",
+           "PATH": "/usr/bin:/bin:/opt/venv/bin"}
+    subprocess.run(
+        [
+            sys.executable, "-m", "svecalign_tpu.seg_align.align",
+            str(example_dir / "metadata.tsv"), str(out),
+            "--src_lang", "en", "--tgt_lang", "de",
+            "--seg_dir", str(example_dir / "segments"),
+            "--concat_dir", str(example_dir / "cat_segs"),
+            "--embed_dir", str(example_dir / "embeds"),
+            "--is_stopes_embed",
+            "--ign_indices_dir", str(example_dir / "untrans_cat_seg_ids"),
+            "--pair_batch", "4", "--upload_quant", "int8",
+        ],
+        check=True, capture_output=True, cwd="/root/repo", env=env,
+    )
+
+    from svecalign_tpu.utils.file_utils import read_alignments
+
+    got = read_alignments(out / "en-de" / f"{PAIR}.txt")
+    want = read_alignments(example_dir / "alignments/en-de" / f"{PAIR}.txt")
+    got_set = set((tuple(x), tuple(y)) for x, y in got)
+    want_set = set((tuple(x), tuple(y)) for x, y in want)
+    overlap = len(got_set & want_set) / len(want_set)
+    assert overlap >= 0.85, (overlap, len(got_set), len(want_set))
