@@ -161,7 +161,13 @@ class SonarSpeechModel:
                 "embeddings are not meaningful for mining."
             )
         self.params = jax.device_put(self.params)
-        self._forward = jax.jit(self.model.apply)
+
+        # features upload as fp16 (log-mel dynamic range fits easily) and
+        # upcast on device: half the H2D bytes over the ~45 MB/s tunnel
+        def _apply_h(params, feats16, lengths):
+            return self.model.apply(params, feats16.astype(jnp.float32), lengths)
+
+        self._forward = jax.jit(_apply_h)
 
     def _bucket(self, n: int) -> int:
         for b in self.BUCKET_FRAMES:
@@ -182,7 +188,7 @@ class SonarSpeechModel:
             for chunk_start in range(0, len(items), self.batch_size):
                 chunk = items[chunk_start : chunk_start + self.batch_size]
                 padded = np.zeros(
-                    (self.batch_size, bucket, self.config.n_mels), dtype=np.float32
+                    (self.batch_size, bucket, self.config.n_mels), dtype=np.float16
                 )
                 lengths = np.zeros((self.batch_size,), dtype=np.int32)
                 for row, (_, f) in enumerate(chunk):

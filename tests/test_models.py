@@ -164,7 +164,7 @@ def test_laser_data_parallel_encode_matches_single():
     single.mesh = None
     # force the single-device path regardless of visible devices
     single.params = jax.device_put(jax.device_get(single.params))
-    single._forward = jax.jit(single.model.apply)
+    single._forward = jax.jit(single._dequant_apply)
     single._dp_rows = 1
     ref = single.encode(wavs)
 
