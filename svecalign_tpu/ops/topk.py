@@ -34,7 +34,7 @@ def normalize_l2(x: np.ndarray) -> np.ndarray:
 def _search_dense(queries: Array, corpus: Array, corpus_sq: Array, k: int):
     sims = jnp.dot(
         queries,
-        corpus.T,
+        corpus.T.astype(jnp.float32),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -63,7 +63,7 @@ def _search_dense_tiled(queries: Array, corpus: Array, corpus_sq: Array, k: int,
         best_d, best_i = carry
         c_blk, csq_blk, blk_id = inp
         sims = jnp.dot(
-            queries, c_blk.T,
+            queries, c_blk.T.astype(jnp.float32),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -96,6 +96,7 @@ class FlatIndex:
         self.dim = dim
         self._chunks = []
         self._device_cache = None  # (corpus, corpus_sq) on device
+        self._fp16_exact = True  # all added vectors round-trip through fp16
 
     @property
     def ntotal(self) -> int:
@@ -104,6 +105,10 @@ class FlatIndex:
     def add(self, vectors: np.ndarray) -> None:
         vectors = np.asarray(vectors, dtype=np.float32)
         assert vectors.shape[1] == self.dim
+        if self._fp16_exact and not np.array_equal(
+            vectors, vectors.astype(np.float16).astype(np.float32)
+        ):
+            self._fp16_exact = False
         self._chunks.append(vectors)
         self._device_cache = None
 
@@ -120,7 +125,12 @@ class FlatIndex:
     BLOCK = 1 << 15
 
     def _device_corpus(self, tiled: bool):
-        """Upload the corpus (+ padding for the tiled path) once; cache."""
+        """Upload the corpus (+ padding for the tiled path) once; cache.
+
+        When every added vector is exactly fp16-representable (the .embed
+        files are fp16, embedding_utils.py upcasts), the device copy is
+        fp16: half the upload bytes and HBM, upcast exactly inside the
+        search kernels — bit-identical distances."""
         if self._device_cache is None:
             n = self.ntotal
             if tiled:
@@ -131,6 +141,8 @@ class FlatIndex:
             else:
                 corpus = self.corpus
                 corpus_sq = np.sum(corpus * corpus, axis=1)
+            if self._fp16_exact:
+                corpus = corpus.astype(np.float16)
             self._device_cache = (jnp.asarray(corpus), jnp.asarray(corpus_sq))
         return self._device_cache
 
@@ -205,6 +217,7 @@ def sharded_search(
         out_specs=(P(axis), P(axis)),
     )
     def local_topk(q, c_shard, v_shard):
+        c_shard = c_shard.astype(jnp.float32)  # exact upcast of fp16 shards
         sims = jnp.dot(
             q, c_shard.T, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -239,7 +252,11 @@ class ShardedFlatIndex:
     def __init__(self, corpus: np.ndarray, mesh: Optional[Mesh] = None):
         self.corpus = np.asarray(corpus, dtype=np.float32)
         self.dim = self.corpus.shape[1]
-        self._prepared = shard_corpus(self.corpus, mesh)  # device-resident
+        # fp16 device shards when lossless (half the upload + HBM)
+        dev = self.corpus
+        if np.array_equal(dev, dev.astype(np.float16).astype(np.float32)):
+            dev = dev.astype(np.float16)
+        self._prepared = shard_corpus(dev, mesh)  # device-resident
 
     @property
     def ntotal(self) -> int:
@@ -324,7 +341,7 @@ def _ivf_gather_search(
     cand_id = id_blocks[blocks].reshape(-1)
 
     sims = jnp.dot(
-        queries, cand_v.T,
+        queries, cand_v.T.astype(jnp.float32),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -367,6 +384,7 @@ class IVFIndex:
         self._vectors = np.zeros((0, dim), dtype=np.float32)
         self._assignments = np.zeros((0,), dtype=np.int64)
         self._device_state = None
+        self._fp16_exact = True
 
     @property
     def ntotal(self) -> int:
@@ -389,6 +407,10 @@ class IVFIndex:
     def add(self, vectors: np.ndarray) -> None:
         assert self.is_trained, "train the index before adding vectors"
         vectors = np.asarray(vectors, dtype=np.float32)
+        if self._fp16_exact and not np.array_equal(
+            vectors, vectors.astype(np.float16).astype(np.float32)
+        ):
+            self._fp16_exact = False
         # assign on device; only the (n,) id vector comes back to the host
         assign = np.asarray(
             _assign_to_centroids(jnp.asarray(vectors), jnp.asarray(self.centroids))
@@ -404,10 +426,15 @@ class IVFIndex:
         n = self._vectors.shape[0]
         bs = self.BLOCK
         n_pad = ((n + bs - 1) // bs + 1) * bs  # +1 trailing pad block
-        vec = np.zeros((n_pad, self.dim), np.float32)
-        vec[:n] = self._vectors[order]
+        # fp16 device copy when lossless (half the upload + HBM; upcast
+        # exactly in the search kernel)
+        dt = np.float16 if self._fp16_exact else np.float32
+        vec = np.zeros((n_pad, self.dim), dt)
+        vec[:n] = self._vectors[order].astype(dt)
         sq = np.full((n_pad,), np.inf, np.float32)
-        sq[:n] = np.sum(vec[:n] * vec[:n], axis=1)
+        sq[:n] = np.sum(
+            self._vectors[order] * self._vectors[order], axis=1
+        )
         row_list = np.full((n_pad,), -1, np.int32)
         row_list[:n] = self._assignments[order].astype(np.int32)
         ids = np.full((n_pad,), -1, np.int32)

@@ -27,9 +27,10 @@ def determine_index_type(n_embeddings: int) -> str:
     determine_faiss_index_type, reference prep_index.py:246).
 
     Exact streaming Flat is both faster and exact while the corpus fits one
-    chip's HBM (~2M x 1024 fp32, sweepable at MXU speed); IVF only beyond
-    that, where sharding + clustering start to pay."""
-    if n_embeddings < 2_000_000:
+    chip's HBM (~4M x 1024 fp16 — fp16-sourced corpora are stored fp16 on
+    device and upcast exactly in the kernels — sweepable at MXU speed); IVF
+    only beyond that, where sharding + clustering start to pay."""
+    if n_embeddings < 4_000_000:
         return "Flat"
     if n_embeddings < 20_000_000:
         return "IVF16384"

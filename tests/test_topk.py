@@ -144,6 +144,34 @@ def test_ivf_device_path_tiny_lists():
     np.testing.assert_array_equal(np.isinf(d_dev), np.isinf(d_host))
 
 
+def test_flat_fp16_storage_is_exact():
+    """fp16-sourced corpora (the .embed files are fp16) are stored fp16 on
+    device and upcast in the kernel — distances must be bit-identical to
+    fp32 storage."""
+    rng = np.random.default_rng(9)
+    corpus16 = _random_corpus(rng, 300).astype(np.float16).astype(np.float32)
+    queries = _random_corpus(rng, 10)
+
+    idx_a = FlatIndex(dim=64)
+    idx_a.add(corpus16)
+    assert idx_a._fp16_exact
+    d_a, i_a = idx_a.search(queries, 5)
+
+    idx_b = FlatIndex(dim=64)
+    idx_b.add(corpus16)
+    idx_b._fp16_exact = False  # force fp32 device storage
+    d_b, i_b = idx_b.search(queries, 5)
+
+    np.testing.assert_array_equal(d_a, d_b)
+    np.testing.assert_array_equal(i_a, i_b)
+
+    # mixed-precision corpora fall back to fp32 storage
+    idx_c = FlatIndex(dim=64)
+    idx_c.add(corpus16)
+    idx_c.add(_random_corpus(rng, 10))
+    assert not idx_c._fp16_exact
+
+
 def test_faiss_flat_format_roundtrip(tmp_path):
     rng = np.random.default_rng(5)
     corpus = _random_corpus(rng, 37, 1024)
