@@ -62,13 +62,7 @@ def povey_window(window_size: int) -> np.ndarray:
     return (hann**0.85).astype(np.float32)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "sample_rate", "num_mel_bins", "frame_length", "frame_shift", "n_frames"
-    ),
-)
-def _fbank_impl(
+def fbank_device(
     waveform: jax.Array,
     sample_rate: int,
     num_mel_bins: int,
@@ -77,6 +71,8 @@ def _fbank_impl(
     n_frames: int,
     preemphasis: float = 0.97,
 ):
+    """Trace-time fbank body: usable inside other jitted programs (e.g.
+    fused into an encoder forward so features never round-trip the host)."""
     padded = int(2 ** np.ceil(np.log2(frame_length)))  # round_to_power_of_two
 
     # frame extraction (snip_edges)
@@ -104,6 +100,11 @@ def _fbank_impl(
         precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.log(jnp.maximum(mel, EPSILON))
+
+
+_fbank_impl = partial(jax.jit, static_argnames=(
+    "sample_rate", "num_mel_bins", "frame_length", "frame_shift", "n_frames"
+))(fbank_device)
 
 
 _FRAME_BUCKET = 256  # frames per compiled-shape bucket (zero-padded, sliced)

@@ -166,3 +166,31 @@ def test_batched_int8_upload_matches_committed(example_dir):
     b = set((tuple(x), tuple(y)) for x, y in int8_aligns)
     overlap = len(a & b) / max(len(a), 1)
     assert overlap >= 0.9, (overlap, len(a), len(b))
+
+
+def test_device_histogram_knob_matches_host():
+    """DeletionKnob.from_histogram on device-computed counts must match the
+    sample-based constructor to within one bin width."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.vecalign.batch import _batched_score_hist
+    from svecalign_tpu.vecalign.deletion import DeletionKnob
+
+    rng = np.random.default_rng(3)
+    v0 = costs_ops.make_norm1(jnp.asarray(rng.standard_normal((2, 40, 32)).astype(np.float32)))
+    v1 = costs_ops.make_norm1(jnp.asarray(rng.standard_normal((2, 45, 32)).astype(np.float32)))
+    n0 = jnp.ones((2, 40)); n1 = jnp.ones((2, 45))
+    x_idx = rng.integers(0, 40, (2, 5000)); y_idx = rng.integers(0, 45, (2, 5000))
+
+    from svecalign_tpu.vecalign.batch import _batched_score_pairs
+    scores = np.asarray(_batched_score_pairs(v0, v1, n0, n1, jnp.asarray(x_idx), jnp.asarray(y_idx)))
+    counts, smax = _batched_score_hist(v0, v1, n0, n1, jnp.asarray(x_idx), jnp.asarray(y_idx))
+    counts, smax = np.asarray(counts), np.asarray(smax)
+
+    for i in range(2):
+        host = DeletionKnob(scores[i], 0.0, float(scores[i].max()))
+        dev = DeletionKnob.from_histogram(counts[i], 0.0, float(smax[i]))
+        for frac in (0.1, 0.2, 0.5, 0.8):
+            a = host.percentile_frac_to_del_penalty(frac)
+            b = dev.percentile_frac_to_del_penalty(frac)
+            assert abs(a - b) <= 2.0 * float(smax[i]) / 1000.0 + 1e-6, (frac, a, b)
