@@ -66,10 +66,18 @@ def _make_path(rng, n, m):
     return path
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_banded_costs_matches_oracle(seed):
+@pytest.mark.parametrize(
+    "seed,n,m,chunk",
+    [
+        (0, 17, 14, 8),     # several chunks, docs larger than the window
+        (1, 17, 14, 8),
+        (0, 17, 14, 512),   # chunk window larger than both docs (pad path)
+        (2, 130, 41, 32),   # asymmetric, many chunks, boundary replication
+        (3, 23, 171, 64),   # y-heavy: negative-b_offset window clamps
+    ],
+)
+def test_banded_costs_matches_oracle(seed, n, m, chunk):
     rng = np.random.default_rng(seed)
-    n, m = 17, 14
     types = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1)]
     w2 = 4
     v0 = random_overlap_tensor(rng, 3, n)
@@ -89,7 +97,7 @@ def test_banded_costs_matches_oracle(seed):
             tuple(x for x, _ in types),
             tuple(y for _, y in types),
             w2,
-            chunk=8,
+            chunk=chunk,
         )
     )
     want, b_off_ref = oracle.banded_costs_oracle(v0, v1, n0, n1, path, types, w2)
