@@ -26,7 +26,6 @@ import numpy as np
 
 from svecalign_tpu.ops import costs as costs_ops
 from svecalign_tpu.ops import dp as dp_ops
-from svecalign_tpu.vecalign.deletion import DeletionKnob
 from svecalign_tpu.vecalign.pyramid import (
     alignment_to_search_path,
     extend_alignments,
@@ -118,6 +117,13 @@ def _batched_score_hist(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
         jnp.arange(p)[:, None], bins
     ].add(1)
     return counts, smax
+
+
+@partial(jax.jit, static_argnames=("frac",))
+def _batched_del_penalty(counts, smax, frac, valid):
+    from svecalign_tpu.vecalign.deletion import device_del_penalty
+
+    return device_del_penalty(counts, smax, frac, valid)
 
 
 @partial(jax.jit, static_argnames=("x_offsets", "y_offsets", "width_over2", "chunk"))
@@ -383,26 +389,18 @@ def _vecalign_batched_core(
         sample0 = _batched_gather_sample(e["v0"], jnp.asarray(idx0))
         e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
 
-        # deletion penalties: one batched sample, histogrammed on device —
-        # ONE small pull (P x 1000 bin counts + maxima) for all pairs
+        # deletion penalties: batched sample -> device histogram -> device
+        # percentile interp; NO host pull (the penalty tensor feeds the DP
+        # kernels directly)
         x_idx = rng.integers(0, np.maximum(h_sizes0, 1)[:, None], size=(P, costs_sample_size))
         y_idx = rng.integers(0, np.maximum(h_sizes1, 1)[:, None], size=(P, costs_sample_size))
-        counts, smax = jax.device_get(
-            _batched_score_hist(
-                e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
-                jnp.asarray(x_idx), jnp.asarray(y_idx),
-            )
+        counts, smax = _batched_score_hist(
+            e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
+            jnp.asarray(x_idx), jnp.asarray(y_idx),
         )
-        e["del_penalty"] = np.array(
-            [
-                DeletionKnob.from_histogram(
-                    counts[i], 0.0, float(smax[i])
-                ).percentile_frac_to_del_penalty(del_percentile_frac)
-                if h_sizes0[i] and h_sizes1[i]
-                else 0.5
-                for i in range(P)
-            ],
-            dtype=np.float32,
+        valid = jnp.asarray((h_sizes0 > 0) & (h_sizes1 > 0))
+        e["del_penalty"] = _batched_del_penalty(
+            counts, smax, del_percentile_frac, valid
         )
 
     # dense level

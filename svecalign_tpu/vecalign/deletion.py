@@ -73,6 +73,34 @@ class DeletionKnob:
         return float(np.interp([knob_val], self.x, self.y)[0])
 
 
+def device_del_penalty(counts, smax, frac: float, valid):
+    """Deletion penalties for a batch, entirely on device.
+
+    counts: (P, NUM_BINS) sampled-cost histograms (int); smax: (P,) sample
+    maxima; valid: (P,) bool — invalid pairs get the 0.5 placeholder.
+    Mirrors DeletionKnob.from_histogram + percentile_frac_to_del_penalty
+    (cdf -> 27 interior interp points -> linear interp), so no histogram
+    ever crosses the tunnel. float32 vs the host's float64 can shift a bin
+    boundary (~res_max/1000) — same tolerance class as device histogramming.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    p = counts.shape[0]
+    res_max = jnp.where(smax > 0, smax, 1e-4)
+    total = jnp.maximum(jnp.sum(counts, axis=1, keepdims=True), 1)
+    cdf = jnp.cumsum(counts, axis=1) / total.astype(jnp.float32)
+    kvs = jnp.linspace(0.0, 1.0, 29)[1:-1]  # 27 interior knob points
+    idx = jax.vmap(lambda c: jnp.searchsorted(c, kvs))(cdf)  # (P, 27)
+    cdf_val = idx.astype(jnp.float32) / NUM_BINS * res_max[:, None]
+    x = jnp.concatenate([jnp.zeros((1,)), kvs, jnp.ones((1,))])
+    y = jnp.concatenate(
+        [jnp.zeros((p, 1)), cdf_val, res_max[:, None]], axis=1
+    )
+    pen = jax.vmap(lambda yy: jnp.interp(jnp.float32(frac), x, yy))(y)
+    return jnp.where(valid, pen, 0.5)
+
+
 def make_del_knob(
     e_laser: np.ndarray,
     f_laser: np.ndarray,

@@ -194,3 +194,29 @@ def test_device_histogram_knob_matches_host():
             a = host.percentile_frac_to_del_penalty(frac)
             b = dev.percentile_frac_to_del_penalty(frac)
             assert abs(a - b) <= 2.0 * float(smax[i]) / 1000.0 + 1e-6, (frac, a, b)
+
+
+def test_device_del_penalty_matches_host_knob():
+    """The fully on-device percentile interp must match the host DeletionKnob
+    to within a bin width."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.vecalign.batch import _batched_del_penalty
+    from svecalign_tpu.vecalign.deletion import NUM_BINS, DeletionKnob
+
+    rng = np.random.default_rng(6)
+    counts = rng.integers(0, 100, (3, NUM_BINS)).astype(np.int32)
+    counts[1, :500] = 0  # skewed distribution
+    smax = np.array([1.7, 0.9, 0.0], np.float32)  # includes degenerate max=0
+    valid = np.array([True, True, False])
+
+    for frac in (0.1, 0.2, 0.5, 0.9):
+        pen = np.asarray(_batched_del_penalty(
+            jnp.asarray(counts), jnp.asarray(smax), frac, jnp.asarray(valid)
+        ))
+        for i in range(2):
+            want = DeletionKnob.from_histogram(
+                counts[i], 0.0, float(smax[i])
+            ).percentile_frac_to_del_penalty(frac)
+            assert abs(pen[i] - want) <= 2.0 * max(smax[i], 1e-4) / NUM_BINS + 1e-6
+        assert pen[2] == 0.5  # invalid pair placeholder
