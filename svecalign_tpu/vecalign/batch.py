@@ -376,7 +376,7 @@ def _vecalign_batched_core(
         samps1 = math.ceil(num_samps_for_norm / e["v1"].shape[1])
         idx1 = rng.integers(
             0, np.maximum(h_sizes1, 1)[:, None, None],
-            size=(P, e["v1"].shape[1], samps1),
+            size=(P, e["v1"].shape[1], samps1), dtype=np.int32,
         )
         sample1 = _batched_gather_sample(e["v1"], jnp.asarray(idx1))
         e["n0"] = _batched_norms_from_sample(e["v0"], sample1)
@@ -384,7 +384,7 @@ def _vecalign_batched_core(
         samps0 = math.ceil(num_samps_for_norm / e["v0"].shape[1])
         idx0 = rng.integers(
             0, np.maximum(h_sizes0, 1)[:, None, None],
-            size=(P, e["v0"].shape[1], samps0),
+            size=(P, e["v0"].shape[1], samps0), dtype=np.int32,
         )
         sample0 = _batched_gather_sample(e["v0"], jnp.asarray(idx0))
         e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
@@ -392,8 +392,14 @@ def _vecalign_batched_core(
         # deletion penalties: batched sample -> device histogram -> device
         # percentile interp; NO host pull (the penalty tensor feeds the DP
         # kernels directly)
-        x_idx = rng.integers(0, np.maximum(h_sizes0, 1)[:, None], size=(P, costs_sample_size))
-        y_idx = rng.integers(0, np.maximum(h_sizes1, 1)[:, None], size=(P, costs_sample_size))
+        x_idx = rng.integers(
+            0, np.maximum(h_sizes0, 1)[:, None], size=(P, costs_sample_size),
+            dtype=np.int32,
+        )
+        y_idx = rng.integers(
+            0, np.maximum(h_sizes1, 1)[:, None], size=(P, costs_sample_size),
+            dtype=np.int32,
+        )
         counts, smax = _batched_score_hist(
             e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
             jnp.asarray(x_idx), jnp.asarray(y_idx),
