@@ -203,11 +203,15 @@ class SpeechLaserModel:
         max_tokens: int = 150 * 16000,
         seed: int = 0,
         mesh=None,
+        upload_dtype: str = "int16",
     ):
         self.config = config
         self.model = LaserSpeechEncoder(config)
         self.max_tokens = max_tokens
         self.mesh = mesh
+        # "int16" halves H2D bytes (~3e-5 input noise); "fp32" is the exact
+        # path for parity/debugging (--upload_precision)
+        self.upload_dtype = upload_dtype
 
         if ckpt_path:
             self.params = self.load_params(ckpt_path)
@@ -315,15 +319,21 @@ class SpeechLaserModel:
             rows = self._rows_for_bucket(bucket)
             for chunk_start in range(0, len(items), rows):
                 chunk = items[chunk_start : chunk_start + rows]
-                padded = np.zeros((rows, bucket), dtype=np.int16)
-                scales = np.zeros((rows,), dtype=np.float32)
+                fp32 = self.upload_dtype == "fp32"
+                padded = np.zeros(
+                    (rows, bucket), dtype=np.float32 if fp32 else np.int16
+                )
+                scales = np.ones((rows,), dtype=np.float32)
                 lengths = np.zeros((rows,), dtype=np.int32)
                 for row, (_, w) in enumerate(chunk):
                     w = w[:bucket]
-                    peak = float(np.max(np.abs(w))) if len(w) else 0.0
-                    s = peak / 32767.0 if peak > 0 else 1.0
-                    padded[row, : len(w)] = np.rint(w / s).astype(np.int16)
-                    scales[row] = s
+                    if fp32:
+                        padded[row, : len(w)] = w
+                    else:
+                        peak = float(np.max(np.abs(w))) if len(w) else 0.0
+                        s = peak / 32767.0 if peak > 0 else 1.0
+                        padded[row, : len(w)] = np.rint(w / s).astype(np.int16)
+                        scales[row] = s
                     lengths[row] = len(w)
                 emb = self._forward(
                     self.params, jnp.asarray(padded), jnp.asarray(scales),

@@ -140,10 +140,12 @@ class SonarSpeechModel:
         ckpt_path: Optional[str] = None,
         batch_size: int = 16,
         seed: int = 0,
+        upload_dtype: str = "int16",
     ):
         self.config = config
         self.model = SonarSpeechEncoder(config)
         self.batch_size = batch_size
+        self.upload_dtype = upload_dtype  # int16 (half bytes) | fp32 (exact)
 
         from svecalign_tpu.models.param_utils import load_params_npz, numpy_init
 
@@ -203,15 +205,22 @@ class SonarSpeechModel:
             samples = 400 + (bucket - 1) * 160
             for chunk_start in range(0, len(items), self.batch_size):
                 chunk = items[chunk_start : chunk_start + self.batch_size]
-                padded = np.zeros((self.batch_size, samples), dtype=np.int16)
+                fp32 = self.upload_dtype == "fp32"
+                padded = np.zeros(
+                    (self.batch_size, samples),
+                    dtype=np.float32 if fp32 else np.int16,
+                )
                 scales = np.ones((self.batch_size,), dtype=np.float32)
                 lengths = np.zeros((self.batch_size,), dtype=np.int32)
                 for row, (_, w, n_frames) in enumerate(chunk):
                     w = w[:samples]
-                    peak = float(np.max(np.abs(w))) if len(w) else 0.0
-                    s = peak / 32767.0 if peak > 0 else 1.0
-                    padded[row, : len(w)] = np.rint(w / s).astype(np.int16)
-                    scales[row] = s
+                    if fp32:
+                        padded[row, : len(w)] = w
+                    else:
+                        peak = float(np.max(np.abs(w))) if len(w) else 0.0
+                        s = peak / 32767.0 if peak > 0 else 1.0
+                        padded[row, : len(w)] = np.rint(w / s).astype(np.int16)
+                        scales[row] = s
                     lengths[row] = min(n_frames, bucket)
                 emb = self._forward(
                     self.params, jnp.asarray(padded), jnp.asarray(scales),

@@ -148,7 +148,7 @@ class FlatIndex:
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         queries = jnp.asarray(queries, dtype=jnp.float32)
-        k = min(k, self.ntotal)
+        k_eff = min(k, self.ntotal)
         tiled = self.ntotal * queries.shape[0] > self.TILE_THRESHOLD
         corpus, corpus_sq = self._device_corpus(tiled)
         if not tiled and corpus.shape[0] != self.ntotal:
@@ -158,10 +158,21 @@ class FlatIndex:
             self._device_cache = None  # rebuild with padding
             corpus, corpus_sq = self._device_corpus(True)
         if tiled:
-            d2, idx = _search_dense_tiled(queries, corpus, corpus_sq, k, self.BLOCK)
+            d2, idx = _search_dense_tiled(queries, corpus, corpus_sq, k_eff, self.BLOCK)
         else:
-            d2, idx = _search_dense(queries, corpus, corpus_sq, k)
-        return np.asarray(d2), np.asarray(idx)
+            d2, idx = _search_dense(queries, corpus, corpus_sq, k_eff)
+        d2, idx = np.asarray(d2), np.asarray(idx)
+        if k_eff < k:
+            # faiss IndexFlatL2 always returns (nq, k): missing neighbors
+            # are +inf distance / -1 id (matches ShardedFlatIndex/IVFIndex)
+            nq = d2.shape[0]
+            d2 = np.concatenate(
+                [d2, np.full((nq, k - k_eff), np.inf, d2.dtype)], axis=1
+            )
+            idx = np.concatenate(
+                [idx, np.full((nq, k - k_eff), -1, idx.dtype)], axis=1
+            )
+        return d2, idx
 
 
 def shard_corpus(

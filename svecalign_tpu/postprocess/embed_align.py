@@ -122,6 +122,7 @@ def main():
         max_tokens=args.max_tokens,
         sonar_name=args.sonar_name,
         batch_size=args.batch_size or 16,
+        upload_precision=getattr(args, "upload_precision", "int16"),
     )
 
     for src_aud_path, tgt_aud_path in my_tqdm(all_pairs):

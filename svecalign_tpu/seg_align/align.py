@@ -71,7 +71,8 @@ def parse_args():
     parser.add_argument("--dp_backend", type=str, default="auto",
                         choices=["auto", "pallas", "xla", "native"],
                         help="banded-DP kernel: Pallas VMEM wavefront (TPU), XLA "
-                             "scan, or the C++ float64 host kernel.")
+                             "scan, or the C++ float64 host kernel. Only applies "
+                             "to --pair_batch 1; the batched path is always XLA.")
     return parser.parse_args()
 
 
@@ -185,6 +186,12 @@ def main():
 
     with profile_ctx:
         if args.pair_batch > 1:
+            if args.dp_backend != "auto":
+                logger.warning(
+                    "--dp_backend %s is ignored with --pair_batch > 1: the "
+                    "batched pyramid always uses the XLA banded DP.",
+                    args.dp_backend,
+                )
             _run_pairs_batched(args, valid_pairs)
         else:
             _run_pairs(args, valid_pairs)

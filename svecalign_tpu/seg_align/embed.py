@@ -67,6 +67,7 @@ def main():
         max_tokens=args.max_tokens,
         sonar_name=args.sonar_name,
         batch_size=args.batch_size or 16,
+        upload_precision=getattr(args, "upload_precision", "int16"),
     )
 
     embed_fp32 = args.embed_fp32

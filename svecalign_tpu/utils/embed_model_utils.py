@@ -42,6 +42,11 @@ def add_embed_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--n_proc", type=int, default=1)
     parser.add_argument("--compile_sonar", action="store_true", default=False,
                         help="accepted for CLI parity; JAX always jit-compiles.")
+    parser.add_argument("--upload_precision", type=str, default="int16",
+                        choices=["int16", "fp32"],
+                        help="waveform/feature host->device upload precision: "
+                             "int16 halves bytes over the tunnel (~3e-5 input "
+                             "noise); fp32 is the exact path for parity runs.")
     return parser
 
 
@@ -54,6 +59,7 @@ def load_embed_model(
     sonar_fp16: bool = False,
     compile_sonar: bool = False,
     batch_size: int = 16,
+    upload_precision: str = "int16",
 ):
     if embed_model_type == "speech_laser":
         from svecalign_tpu.models.laser_encoder import SpeechLaserModel
@@ -66,13 +72,17 @@ def load_embed_model(
             else:
                 logger.warning(f"{candidate} not found; using random weights.")
         return SpeechLaserModel(
-            ckpt_path=ckpt, max_tokens=max_tokens or 150 * SAMPLE_RATE
+            ckpt_path=ckpt, max_tokens=max_tokens or 150 * SAMPLE_RATE,
+            upload_dtype=upload_precision,
         )
     if embed_model_type == "sonar":
         from svecalign_tpu.models.sonar_encoder import SonarSpeechModel
 
         ckpt = sonar_name if sonar_name and Path(sonar_name).exists() else None
-        return SonarSpeechModel(ckpt_path=ckpt, batch_size=batch_size)
+        return SonarSpeechModel(
+            ckpt_path=ckpt, batch_size=batch_size,
+            upload_dtype=upload_precision,
+        )
     raise NotImplementedError(f"Unsupported model {embed_model_type}")
 
 

@@ -152,7 +152,16 @@ def make_doc_ids(
         )
         for j, key in enumerate(keys):
             line_id = None if key == PAD_LABEL else sent2id.get(key)
-            if line_id is not None and 0 <= line_id < n_rows:
+            if line_id is not None:
+                if not 0 <= line_id < n_rows:
+                    # a truncated .embed file must not silently degrade
+                    # alignments (reference make_doc_embedding raises
+                    # IndexError on a bad row, embedding_utils.py:135-203)
+                    raise IndexError(
+                        f"embedding row {line_id} for overlap '{key}' is out "
+                        f"of range for a {n_rows}-row .embed file — "
+                        "truncated or mismatched embedding file?"
+                    )
                 out[j, i + j] = line_id
     return out
 

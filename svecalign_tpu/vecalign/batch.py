@@ -9,12 +9,22 @@ banded costs + DP — batched over the pair axis (vmap), so the roundtrip
 count per LEVEL is constant in the batch size. Host bookkeeping (search
 paths, tracebacks) stays per-pair.
 
-Semantics match pyramid.vecalign per pair, with one deliberate deviation:
-the pyramid's mean-removal during downsampling is computed with per-pair
-validity masks (so padding rows don't shift the mean), making padded and
-unpadded pairs equivalent; sampling draws come from one shared seeded RNG,
-so a pair's deletion penalty depends on its batch (same distribution, same
-percentile target — quality-equivalent, tested in tests/test_batch_align.py).
+Semantics match pyramid.vecalign per pair, with one deliberate deviation in
+the default mode: the pyramid's mean-removal during downsampling is computed
+with per-pair validity masks (so padding rows don't shift the mean), making
+padded and unpadded pairs equivalent; sampling draws come from one shared
+seeded RNG, so a pair's deletion penalty depends on its batch (same
+distribution, same percentile target — quality-equivalent, tested in
+tests/test_batch_align.py). Pairs whose size product is below
+costs_sample_size use the exhaustive index cross product for the deletion
+knob (masked on device), matching make_del_knob's small-problem branch
+(reference dp_utils.py:278-323).
+
+``sampling="paired"`` instead gives every pair its own seeded RNG stream
+reproducing pyramid.vecalign's exact draw order (norm samples for every
+depth, then knob samples for every depth) and evaluates the deletion knob
+on host — so a batch of same-sized pairs is sample-identical to per-pair
+runs. Used by the CI exactness gate; costs one extra host pull per depth.
 """
 
 from functools import partial
@@ -96,18 +106,26 @@ def _batched_score_pairs(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
 
 
 @jax.jit
-def _batched_score_hist(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
+def _batched_score_hist(vecs0, vecs1, norms0, norms1, x_idx, y_idx, n_valid=None):
     """Sampled-cost histograms for the deletion knob, computed on device.
 
     Returns (counts (P, NUM_BINS) int32, smax (P,)): only ~4KB per pair
     crosses the tunnel instead of the raw (P, 20000) score matrix. Binning
     matches np.histogram(range=[0, smax]) (right-closed last bin) up to
-    float rounding at bin edges.
+    float rounding at bin edges. ``n_valid`` (P,) int32 counts how many
+    leading entries of each pair's index row are real (shorter when a small
+    pair enumerates its exhaustive cross product); the rest are excluded.
     """
     from svecalign_tpu.vecalign.deletion import NUM_BINS
 
     scores = _batched_score_pairs(vecs0, vecs1, norms0, norms1, x_idx, y_idx)
-    smax = jnp.max(scores, axis=1)  # (P,)
+    if n_valid is None:
+        mask = jnp.ones(scores.shape, dtype=bool)
+    else:
+        mask = jnp.arange(scores.shape[1])[None, :] < n_valid[:, None]
+    smax = jnp.maximum(
+        jnp.max(jnp.where(mask, scores, -jnp.inf), axis=1), 0.0
+    )  # (P,)
     scale = jnp.where(smax > 0, NUM_BINS / smax, 0.0)
     bins = jnp.clip(
         jnp.floor(scores * scale[:, None]).astype(jnp.int32), 0, NUM_BINS - 1
@@ -115,7 +133,7 @@ def _batched_score_hist(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
     p = scores.shape[0]
     counts = jnp.zeros((p, NUM_BINS), jnp.int32).at[
         jnp.arange(p)[:, None], bins
-    ].add(1)
+    ].add(mask.astype(jnp.int32))
     return counts, smax
 
 
@@ -283,6 +301,7 @@ def vecalign_batched(
     costs_sample_size: int,
     num_samps_for_norm: int,
     seed: int = 42,
+    sampling: str = "shared",
 ) -> List[Tuple[List[Alignment], np.ndarray]]:
     """Align a bucket of document pairs in one batched pyramid.
 
@@ -322,6 +341,7 @@ def vecalign_batched(
         costs_sample_size=costs_sample_size,
         num_samps_for_norm=num_samps_for_norm,
         seed=seed,
+        sampling=sampling,
     )
 
 
@@ -337,6 +357,7 @@ def _vecalign_batched_core(
     costs_sample_size: int,
     num_samps_for_norm: int,
     seed: int = 42,
+    sampling: str = "shared",
 ) -> List[Tuple[List[Alignment], np.ndarray]]:
     """Shared pyramid over device-resident normalized (P, o, n, d) tensors."""
     if width_over2 < 3:
@@ -363,51 +384,110 @@ def _vecalign_batched_core(
             "h_sizes1": prev["h_sizes1"] // 2,
         }
 
-    # per-depth normalizers + deletion penalties
-    for depth in stack:
+    import math
+
+    paired = sampling == "paired"
+    pair_rngs = [np.random.default_rng(seed) for _ in range(P)] if paired else None
+
+    # margin normalizers for every depth BEFORE any knob draw (the per-pair
+    # driver's order, so "paired" RNG streams line up with pyramid.vecalign)
+    for depth in sorted(stack):
         e = stack[depth]
         e["alignment_types"] = final_alignment_types if depth == 0 else [(1, 1)]
         h_sizes0 = e["h_sizes0"]
         h_sizes1 = e["h_sizes1"]
+        o0, o1 = e["v0"].shape[1], e["v1"].shape[1]
+        samps1 = math.ceil(num_samps_for_norm / o1)
+        samps0 = math.ceil(num_samps_for_norm / o0)
 
-        import math
+        if paired:
+            # per-pair streams; a size-0 pair draws nothing (its gathered
+            # rows are zero, so the normalizers land on compute_norms'
+            # "ones" fallback exactly)
+            idx1 = np.zeros((P, o1, samps1), dtype=np.int32)
+            idx0 = np.zeros((P, o0, samps0), dtype=np.int32)
+            for i in range(P):
+                if h_sizes1[i] > 0 and samps1:
+                    idx1[i] = pair_rngs[i].integers(0, h_sizes1[i], size=(o1, samps1))
+                if h_sizes0[i] > 0 and samps0:
+                    idx0[i] = pair_rngs[i].integers(0, h_sizes0[i], size=(o0, samps0))
+        else:
+            idx1 = rng.integers(
+                0, np.maximum(h_sizes1, 1)[:, None, None],
+                size=(P, o1, samps1), dtype=np.int32,
+            )
+            idx0 = rng.integers(
+                0, np.maximum(h_sizes0, 1)[:, None, None],
+                size=(P, o0, samps0), dtype=np.int32,
+            )
 
-        # margin normalizers: per-pair sample draws from the valid range
-        samps1 = math.ceil(num_samps_for_norm / e["v1"].shape[1])
-        idx1 = rng.integers(
-            0, np.maximum(h_sizes1, 1)[:, None, None],
-            size=(P, e["v1"].shape[1], samps1), dtype=np.int32,
-        )
         sample1 = _batched_gather_sample(e["v1"], jnp.asarray(idx1))
         e["n0"] = _batched_norms_from_sample(e["v0"], sample1)
-
-        samps0 = math.ceil(num_samps_for_norm / e["v0"].shape[1])
-        idx0 = rng.integers(
-            0, np.maximum(h_sizes0, 1)[:, None, None],
-            size=(P, e["v0"].shape[1], samps0), dtype=np.int32,
-        )
         sample0 = _batched_gather_sample(e["v0"], jnp.asarray(idx0))
         e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
 
-        # deletion penalties: batched sample -> device histogram -> device
-        # percentile interp; NO host pull (the penalty tensor feeds the DP
-        # kernels directly)
-        x_idx = rng.integers(
-            0, np.maximum(h_sizes0, 1)[:, None], size=(P, costs_sample_size),
-            dtype=np.int32,
-        )
-        y_idx = rng.integers(
-            0, np.maximum(h_sizes1, 1)[:, None], size=(P, costs_sample_size),
-            dtype=np.int32,
-        )
-        counts, smax = _batched_score_hist(
-            e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
-            jnp.asarray(x_idx), jnp.asarray(y_idx),
-        )
-        valid = jnp.asarray((h_sizes0 > 0) & (h_sizes1 > 0))
-        e["del_penalty"] = _batched_del_penalty(
-            counts, smax, del_percentile_frac, valid
-        )
+    # deletion penalties per depth; pairs smaller than the sample budget use
+    # the exhaustive index cross product (reference dp_utils.py:278-323's
+    # small-problem branch), masked on device
+    for depth in sorted(stack):
+        e = stack[depth]
+        h_sizes0 = e["h_sizes0"]
+        h_sizes1 = e["h_sizes1"]
+        S = costs_sample_size
+        x_idx = np.zeros((P, S), dtype=np.int32)
+        y_idx = np.zeros((P, S), dtype=np.int32)
+        n_valid = np.zeros(P, dtype=np.int32)
+        for i in range(P):
+            e_size, f_size = int(h_sizes0[i]), int(h_sizes1[i])
+            r = pair_rngs[i] if paired else rng
+            if e_size > 0 and f_size > 0 and S > 0:
+                if e_size * f_size < S:
+                    xi, yi = np.meshgrid(
+                        np.arange(e_size, dtype=np.int32),
+                        np.arange(f_size, dtype=np.int32),
+                        indexing="ij",
+                    )
+                    n = e_size * f_size
+                    x_idx[i, :n] = xi.ravel()
+                    y_idx[i, :n] = yi.ravel()
+                    n_valid[i] = n
+                else:
+                    x_idx[i] = r.integers(0, e_size, size=S).astype(np.int32)
+                    y_idx[i] = r.integers(0, f_size, size=S).astype(np.int32)
+                    n_valid[i] = S
+
+        if paired:
+            # host knob, bit-matching make_del_knob / DeletionKnob
+            from svecalign_tpu.vecalign.deletion import DeletionKnob
+
+            scores = np.asarray(
+                _batched_score_pairs(
+                    e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
+                    jnp.asarray(x_idx), jnp.asarray(y_idx),
+                ),
+                dtype=np.float32,
+            )
+            pens = np.empty(P, dtype=np.float32)
+            for i in range(P):
+                if n_valid[i]:
+                    samp = scores[i, : n_valid[i]]
+                    knob = DeletionKnob(samp, 0, float(samp.max()))
+                else:
+                    knob = DeletionKnob(np.array([0.0, 0.5, 1.0]), 0, 1)
+                pens[i] = knob.percentile_frac_to_del_penalty(del_percentile_frac)
+            e["del_penalty"] = jnp.asarray(pens)
+        else:
+            # batched sample -> device histogram -> device percentile
+            # interp; NO host pull (the penalty tensor feeds the DP directly)
+            counts, smax = _batched_score_hist(
+                e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
+                jnp.asarray(x_idx), jnp.asarray(y_idx),
+                n_valid=jnp.asarray(n_valid),
+            )
+            valid = jnp.asarray(n_valid > 0)
+            e["del_penalty"] = _batched_del_penalty(
+                counts, smax, del_percentile_frac, valid
+            )
 
     # dense level
     top = stack[max_depth]
@@ -451,7 +531,9 @@ def _vecalign_batched_core(
         band_costs = _batched_banded_costs(
             e["v0"], e["v1"], e["n0"], e["n1"], jnp.asarray(boff_in),
             x_offsets, y_offsets, width_over2,
-            chunk=_banded_chunk_for_batch(P),
+            # paired mode matches the per-pair driver's chunking so the
+            # windowed matmul tiles (and thus float rounding) line up
+            chunk=512 if paired else _banded_chunk_for_batch(P),
         )
         csum, xp, yp = _batched_banded_dp(
             band_costs,

@@ -103,8 +103,7 @@ def test_batched_example_pair_matches_committed(example_dir):
     v0 = make_doc_embedding(s2i, emb0, src_lines, 5, overlap_segments=True)
     v1 = make_doc_embedding(t2i, emb1, tgt_lines, 5, overlap_segments=True)
 
-    results = vecalign_batched(
-        [(v0, v1), (v0, v1)],
+    kw = dict(
         final_alignment_types=make_alignment_types(6),
         del_percentile_frac=0.2,
         width_over2=8,
@@ -112,11 +111,34 @@ def test_batched_example_pair_matches_committed(example_dir):
         costs_sample_size=20000,
         num_samps_for_norm=100,
     )
+    results = vecalign_batched([(v0, v1), (v0, v1)], **kw)
     gold = read_alignments(str(example_dir / f"{stem}.gold"))
+    ref = read_alignments(
+        str(example_dir / f"alignments/en-de/{stem}_en-{stem}_de.txt")
+    )
+    ref_set = set((tuple(x), tuple(y)) for x, y in ref)
     for aligns, _ in results:
         res = score_multiple([gold], [aligns])
         assert res["f1_strict"] >= 0.57, res
         assert res["f1_lax"] >= 0.95, res
+        # near-exact agreement with the committed per-pair output: the
+        # batched driver's vmapped fp32 matmuls reduce in a different
+        # order (~1 ulp in the normalizers), which can flip near-tie
+        # merges — allow <=9 of 156 to differ (the per-pair path is pinned
+        # to exact equality in tests/test_e2e_align.py)
+        got = set((tuple(x), tuple(y)) for x, y in aligns)
+        assert len(ref_set & got) >= 147, f"only {len(ref_set & got)}/156 match"
+
+    # paired mode: per-pair seeded streams -> a pair's result must not
+    # depend on its bucket (P=1 vs P=2, same sizes)
+    (p1, _), = vecalign_batched([(v0, v1)], sampling="paired", **kw)
+    p2 = vecalign_batched([(v0, v1), (v0, v1)], sampling="paired", **kw)
+    for aligns, _ in p2:
+        assert aligns == p1
+    res = score_multiple([gold], [p1])
+    assert res["f1_strict"] >= 0.57, res
+    got = set((tuple(x), tuple(y)) for x, y in p1)
+    assert len(ref_set & got) >= 147, f"only {len(ref_set & got)}/156 match"
 
 
 def test_batched_int8_upload_matches_committed(example_dir):
@@ -166,6 +188,47 @@ def test_batched_int8_upload_matches_committed(example_dir):
     b = set((tuple(x), tuple(y)) for x, y in int8_aligns)
     overlap = len(a & b) / max(len(a), 1)
     assert overlap >= 0.9, (overlap, len(a), len(b))
+
+
+def test_small_pair_uses_exhaustive_cross_product():
+    """Pairs with size0*size1 < costs_sample_size must estimate the deletion
+    knob from the FULL index cross product (reference make_del_knob's
+    small-problem branch, dp_utils.py:278-323), not a noisy random sample —
+    mixed into a bucket with a large pair that still samples randomly."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.ops import costs as costs_ops
+    from svecalign_tpu.vecalign.deletion import DeletionKnob, make_del_knob
+
+    rng = np.random.default_rng(9)
+    small = _pair(rng, 12, 14)  # 168 << 500 sample budget
+    large = _pair(rng, 30, 30)
+    results = vecalign_batched([small, large], sampling="paired", **KW)
+    assert len(results) == 2  # both pairs align end-to-end
+
+    # the paired-mode knob must equal make_del_knob bit-for-bit for the
+    # small pair (exhaustive branch draws nothing from the RNG)
+    v0, v1 = small
+    prng = np.random.default_rng(42)
+    n0 = costs_ops.compute_norms(jnp.asarray(v0), jnp.asarray(v1), KW["num_samps_for_norm"], prng)
+    n1 = costs_ops.compute_norms(jnp.asarray(v1), jnp.asarray(v0), KW["num_samps_for_norm"], prng)
+    knob = make_del_knob(
+        jnp.asarray(v0)[0], jnp.asarray(v1)[0], n0[0], n1[0],
+        KW["costs_sample_size"], prng,
+    )
+    want = knob.percentile_frac_to_del_penalty(KW["del_percentile_frac"])
+
+    from svecalign_tpu.vecalign.batch import (
+        _batched_score_pairs,
+    )
+    x, y = np.meshgrid(np.arange(12, dtype=np.int32), np.arange(14, dtype=np.int32), indexing="ij")
+    scores = np.asarray(_batched_score_pairs(
+        jnp.asarray(v0)[None, 0], jnp.asarray(v1)[None, 0],
+        n0[None, 0], n1[None, 0],
+        jnp.asarray(x.ravel()[None]), jnp.asarray(y.ravel()[None]),
+    ))[0]
+    got = DeletionKnob(scores.astype(np.float32), 0, float(scores.max())).percentile_frac_to_del_penalty(KW["del_percentile_frac"])
+    assert got == want
 
 
 def test_device_histogram_knob_matches_host():

@@ -48,29 +48,37 @@ def aligned_stack(example_dir):
     )
 
 
-def test_gold_f1_matches_reference(example_dir, aligned_stack):
+def test_gold_f1_matches_reference_exactly(example_dir, aligned_stack):
+    """With seed 42 the aligner reproduces the README gold table EXACTLY
+    (strict 0.558/0.632/0.593, lax 0.942/0.993/0.967) — the strongest
+    invariant in CLAUDE.md, enforced digit-for-digit."""
     gold = read_alignments(str(example_dir / f"{STEM}.gold"))
     res = score_multiple(
         gold_list=[gold], test_list=[aligned_stack[0]["final_alignments"]]
     )
-    # The reference itself is nondeterministic (unseeded deletion-knob
-    # sampling); require quality at least on par with its published numbers,
-    # with a small tolerance below.
-    assert res["f1_strict"] >= 0.593 - 0.02, res
-    assert res["f1_lax"] >= 0.967 - 0.01, res
+    assert round(res["precision_strict"], 3) == 0.558, res
+    assert round(res["recall_strict"], 3) == 0.632, res
+    assert round(res["f1_strict"], 3) == 0.593, res
+    assert round(res["precision_lax"], 3) == 0.942, res
+    assert round(res["recall_lax"], 3) == 0.993, res
+    assert round(res["f1_lax"], 3) == 0.967, res
 
 
-def test_alignment_close_to_committed(example_dir, aligned_stack):
-    """Most alignments should coincide with the committed reference output
-    (identical inputs; differences only from RNG + float32)."""
+def test_alignment_identical_to_committed(example_dir, aligned_stack):
+    """All 156 alignments must be IDENTICAL to the committed reference
+    output (same inputs, seed 42): set equality, not overlap."""
     ref = read_alignments(
         str(example_dir / "alignments/en-de" / f"{STEM}_en-{STEM}_de.txt")
     )
     got = aligned_stack[0]["final_alignments"]
     ref_set = set((tuple(x), tuple(y)) for x, y in ref)
     got_set = set((tuple(x), tuple(y)) for x, y in got)
-    overlap = len(ref_set & got_set) / max(len(ref_set), 1)
-    assert overlap >= 0.90, f"only {overlap:.1%} of alignments match the reference"
+    assert len(ref_set) == 156
+    missing = sorted(ref_set - got_set)
+    extra = sorted(got_set - ref_set)
+    assert not missing and not extra, (
+        f"{len(ref_set & got_set)}/156 match; missing={missing} extra={extra}"
+    )
 
 
 def test_scores_are_costs(aligned_stack):
