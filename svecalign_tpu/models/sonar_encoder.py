@@ -1,15 +1,26 @@
-"""SONAR-style speech encoder in JAX/flax (the alternative embedder).
+"""SONAR speech encoder in JAX/flax (the alternative embedder).
 
 The reference's second embedding backend is SONAR's
-``SpeechToEmbeddingModelPipeline`` (fairseq2 w2v-BERT conformer + attention
-pooling; reference svecalign/utils/embed_model_utils.py:80-99), emitting a
-single 1024-dim vector per segment stored as headerless raw fp16/fp32.
+``SpeechToEmbeddingModelPipeline`` (reference svecalign/utils/
+embed_model_utils.py:80-99): a w2v-BERT 2.0 conformer trunk plus an
+attention pooler, emitting one 1024-dim vector per segment stored as
+headerless raw fp16/fp32 (reference embedding_utils.py:47-54).
 
-This implements the same architecture family natively: 80-mel log-fbank
-frontend (ops/fbank.py, shared with the untranslated-detection stages) ->
-conv subsampling -> conformer blocks (FFN half-step / MHSA / conv module /
-FFN half-step) -> learned-query attention pooling -> 1024-dim embedding.
-Weights load from .npz; random init otherwise.
+Fidelity: the trunk here is :class:`svecalign_tpu.models.w2v_bert.
+W2vBertModel`, which matches ``transformers.Wav2Vec2BertModel``
+numerically under converted weights (tests/test_hf_equivalence.py::
+test_w2v_bert_matches_hf, both relative_key and relative position
+flavors) — so a converted real SONAR/w2v-BERT checkpoint
+(tools/convert_torch_ckpt.py sonar) drops in. The frontend reproduces
+SeamlessM4TFeatureExtractor semantics: kaldi 80-mel log-fbank (povey,
+preemphasis, DC removal — shared ops/fbank.py), per-utterance per-mel-bin
+zero-mean/unit-var normalization (ddof=1), and stride-2 frame stacking to
+160 dims with the HF attention-mask subsampling rule (indices % 2 == 1).
+
+TPU-first: int16 waveforms upload (quarter of fp32 feature bytes over the
+~45 MB/s tunnel), the fbank + normalization + stacking run INSIDE the
+jitted forward (no host feature round-trip), and shapes are bucketed so
+XLA compiles one program per bucket.
 """
 
 import dataclasses
@@ -23,6 +34,7 @@ import numpy as np
 from svecalign_tpu.utils.jax_setup import setup_jax
 
 setup_jax()
+from svecalign_tpu.models.w2v_bert import W2vBertConfig, W2vBertModel
 from svecalign_tpu.utils.log_utils import logging
 
 logger = logging.getLogger(__name__)
@@ -32,107 +44,119 @@ logger = logging.getLogger(__name__)
 class SonarEncoderConfig:
     n_mels: int = 80
     model_dim: int = 1024
-    n_layers: int = 8
+    n_layers: int = 24  # w2v-BERT 2.0 / SONAR speech trunk depth
     n_heads: int = 16
     ffn_dim: int = 4096
     conv_kernel: int = 31
     pool_dim: int = 1024
+    position_embeddings_type: str = "relative_key"
+    left_max_position_embeddings: int = 64
+    right_max_position_embeddings: int = 8
     dtype: str = "bfloat16"
 
+    def trunk_config(self) -> W2vBertConfig:
+        return W2vBertConfig(
+            feature_projection_input_dim=2 * self.n_mels,
+            hidden_size=self.model_dim,
+            num_hidden_layers=self.n_layers,
+            num_attention_heads=self.n_heads,
+            intermediate_size=self.ffn_dim,
+            conv_depthwise_kernel_size=self.conv_kernel,
+            position_embeddings_type=self.position_embeddings_type,
+            left_max_position_embeddings=self.left_max_position_embeddings,
+            right_max_position_embeddings=self.right_max_position_embeddings,
+            dtype=self.dtype,
+        )
 
-class ConformerBlock(nn.Module):
+
+class AttentionPooler(nn.Module):
+    """Learned-query multi-head attention pooling (SONAR's
+    EncoderOutputPooler family): one query attends over the encoder
+    states, output projected to ``pool_dim``."""
+
     config: SonarEncoderConfig
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
+        b, t, d = x.shape
+        nh = cfg.n_heads
+        dh = d // nh
 
-        # FFN half-step
-        y = nn.LayerNorm(dtype=jnp.float32, name="ffn1_norm")(x)
-        y = nn.Dense(cfg.ffn_dim, dtype=dtype, name="ffn1_in")(y)
-        y = nn.silu(y)
-        y = nn.Dense(cfg.model_dim, dtype=dtype, name="ffn1_out")(y)
-        x = x + 0.5 * y
-
-        # MHSA
-        y = nn.LayerNorm(dtype=jnp.float32, name="attn_norm")(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.n_heads, dtype=dtype, deterministic=True, name="attn"
-        )(y, y, mask=mask[:, None, None, :])
-        x = x + y
-
-        # conv module
-        y = nn.LayerNorm(dtype=jnp.float32, name="conv_norm")(x)
-        y = nn.Dense(2 * cfg.model_dim, dtype=dtype, name="conv_pointwise_in")(y)
-        y = nn.glu(y, axis=-1)
-        y = y * mask[:, :, None]  # zero padding before depthwise conv
-        y = nn.Conv(
-            features=cfg.model_dim,
-            kernel_size=(cfg.conv_kernel,),
-            feature_group_count=cfg.model_dim,
-            padding="SAME",
-            dtype=dtype,
-            name="conv_depthwise",
-        )(y)
-        y = nn.LayerNorm(dtype=jnp.float32, name="conv_bn")(y)  # LN in lieu of BN
-        y = nn.silu(y)
-        y = nn.Dense(cfg.model_dim, dtype=dtype, name="conv_pointwise_out")(y)
-        x = x + y
-
-        # FFN half-step
-        y = nn.LayerNorm(dtype=jnp.float32, name="ffn2_norm")(x)
-        y = nn.Dense(cfg.ffn_dim, dtype=dtype, name="ffn2_in")(y)
-        y = nn.silu(y)
-        y = nn.Dense(cfg.model_dim, dtype=dtype, name="ffn2_out")(y)
-        x = x + 0.5 * y
-
-        return nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
+        query = self.param("query", nn.initializers.normal(0.02), (1, 1, d))
+        q = nn.Dense(d, dtype=dtype, name="q_proj")(
+            jnp.broadcast_to(query, (b, 1, d)).astype(dtype)
+        )
+        k = nn.Dense(d, dtype=dtype, name="k_proj")(x)
+        v = nn.Dense(d, dtype=dtype, name="v_proj")(x)
+        q = q.reshape(b, 1, nh, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh)
+        neg = jnp.finfo(jnp.float32).min
+        scores = jnp.where(mask[:, None, None, :], scores, neg)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, d)[:, 0]
+        return nn.Dense(cfg.pool_dim, dtype=jnp.float32, name="out_proj")(
+            out.astype(jnp.float32)
+        )
 
 
 class SonarSpeechEncoder(nn.Module):
+    """w2v-BERT trunk + attention pooler: stacked mels -> (B, pool_dim)."""
+
     config: SonarEncoderConfig = SonarEncoderConfig()
 
     @nn.compact
-    def __call__(self, feats: jax.Array, n_frames: jax.Array) -> jax.Array:
-        """feats: (B, T, n_mels) log-fbank; n_frames: (B,) valid frames.
-        Returns (B, pool_dim) float32."""
-        cfg = self.config
-        dtype = jnp.dtype(cfg.dtype)
-
-        # 4x conv subsampling
-        x = feats[:, :, :, None]
-        x = nn.Conv(64, kernel_size=(3, 3), strides=(2, 2), dtype=dtype, name="sub1")(x)
-        x = nn.gelu(x)
-        x = nn.Conv(64, kernel_size=(3, 3), strides=(2, 2), dtype=dtype, name="sub2")(x)
-        x = nn.gelu(x)
-        b, t, f, c = x.shape
-        x = x.reshape(b, t, f * c)
-        x = nn.Dense(cfg.model_dim, dtype=dtype, name="input_proj")(x)
-
-        frames = (n_frames + 1) // 2
-        frames = (frames + 1) // 2
-        mask = jnp.arange(t)[None, :] < jnp.maximum(frames, 1)[:, None]
-
-        for i in range(cfg.n_layers):
-            x = ConformerBlock(cfg, name=f"block_{i}")(x, mask)
-
-        # learned-query attention pooling
-        query = self.param(
-            "pool_query", nn.initializers.normal(0.02), (1, 1, cfg.model_dim)
+    def __call__(self, feats: jax.Array, mask: jax.Array) -> jax.Array:
+        """feats: (B, T, 2*n_mels) stacked normalized log-mels;
+        mask: (B, T) bool. Returns (B, pool_dim) float32."""
+        x = W2vBertModel(self.config.trunk_config(), name="trunk")(feats, mask)
+        return AttentionPooler(self.config, name="pooler")(x, mask).astype(
+            jnp.float32
         )
-        q = jnp.broadcast_to(query, (b, 1, cfg.model_dim)).astype(dtype)
-        pooled = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.n_heads, dtype=dtype, deterministic=True, name="pool_attn"
-        )(q, x, mask=mask[:, None, None, :])
-        out = nn.Dense(cfg.pool_dim, dtype=jnp.float32, name="pool_proj")(pooled[:, 0])
-        return out.astype(jnp.float32)
+
+
+def sonar_frontend(wav: jax.Array, lengths: jax.Array, n_frames: int, n_mels: int):
+    """SeamlessM4TFeatureExtractor-equivalent frontend, trace-time (runs
+    inside the jitted forward): kaldi fbank on the 16-bit-scaled waveform,
+    per-utterance per-mel-bin zero-mean/unit-var normalization over valid
+    frames (ddof=1), stride-2 stacking. Returns (feats (B, n_frames//2,
+    2*n_mels), mask (B, n_frames//2) bool). Equivalence vs the HF extractor
+    is asserted in tests/test_hf_equivalence.py::test_sonar_frontend_matches_hf.
+    """
+    from svecalign_tpu.ops.fbank import fbank_device
+
+    # SeamlessM4T "kaldi compliance": waveform scaled to int16 range
+    feats = jax.vmap(
+        lambda w: fbank_device(w * 32768.0, 16000, n_mels, 400, 160, n_frames)
+    )(wav)  # (B, T, n_mels)
+
+    t = feats.shape[1]
+    valid = jnp.arange(t)[None, :] < jnp.maximum(lengths, 1)[:, None]
+    n = jnp.maximum(lengths, 1).astype(jnp.float32)[:, None, None]
+    m = valid[:, :, None]
+    mean = jnp.sum(jnp.where(m, feats, 0.0), axis=1, keepdims=True) / n
+    var = jnp.sum(
+        jnp.where(m, jnp.square(feats - mean), 0.0), axis=1, keepdims=True
+    ) / jnp.maximum(n - 1.0, 1.0)
+    feats = (feats - mean) / jnp.sqrt(var + 1e-7)
+    feats = jnp.where(m, feats, 0.0)
+
+    # stride-2 stacking; HF keeps attention rows where frame % 2 == 1,
+    # so the stacked valid count is lengths // 2
+    t2 = t - t % 2
+    feats = feats[:, :t2].reshape(feats.shape[0], t2 // 2, 2 * n_mels)
+    mask2 = jnp.arange(t2 // 2)[None, :] < (lengths // 2)[:, None]
+    return feats, mask2
 
 
 class SonarSpeechModel:
-    """Host wrapper: fbank frontend + bucketed batched conformer forward."""
+    """Host wrapper: fused fbank frontend + bucketed batched forward."""
 
-    BUCKET_FRAMES = (200, 500, 1000, 2000, 3000)  # 10 ms frames
+    BUCKET_FRAMES = (200, 500, 1000, 2000, 3000)  # 10 ms frames (pre-stack)
 
     def __init__(
         self,
@@ -151,35 +175,31 @@ class SonarSpeechModel:
 
         if ckpt_path:
             self.params = load_params_npz(ckpt_path)
-            logger.info(f"Loaded SONAR-style params from {ckpt_path}")
+            logger.info(f"Loaded SONAR params from {ckpt_path}")
         else:
-            dummy = jnp.zeros((1, self.BUCKET_FRAMES[0], config.n_mels))
+            dummy = jnp.zeros((1, self.BUCKET_FRAMES[0] // 2, 2 * config.n_mels))
             self.params = numpy_init(
-                self.model, (dummy, jnp.zeros((1,), jnp.int32)), seed
+                self.model, (dummy, jnp.ones((1, self.BUCKET_FRAMES[0] // 2), bool)),
+                seed,
             )
             logger.warning(
-                "SONAR-style encoder initialized with RANDOM weights; "
+                "SONAR encoder initialized with RANDOM weights; "
                 "embeddings are not meaningful for mining."
             )
         self.params = jax.device_put(self.params)
 
-        # fused frontend: int16 waveforms upload (half of fp32 feature
-        # bytes, quarter of fp32 waveform bytes) and the kaldi fbank runs
-        # INSIDE the forward — no per-waveform feature roundtrip through
-        # the ~45 MB/s tunnel (reference runs torchaudio fbank on host)
         from functools import partial as _partial
 
-        from svecalign_tpu.ops.fbank import fbank_device
-
         @_partial(jax.jit, static_argnames=("n_frames",))
-        def _apply_wav(params, wav_i16, scales, lengths, n_frames):
-            wav = wav_i16.astype(jnp.float32) * scales[:, None]
-            feats = jax.vmap(
-                lambda w: fbank_device(
-                    w, 16000, self.config.n_mels, 400, 160, n_frames
-                )
-            )(wav)
-            return self.model.apply(params, feats, lengths)
+        def _apply_wav(params, wav, scales, lengths, n_frames):
+            # int16 upload + device dequant (fp32 inputs pass through with
+            # scale 1.0); fbank + normalization + stacking fused into the
+            # forward so features never cross the tunnel
+            wav = wav.astype(jnp.float32) * scales[:, None]
+            feats, mask2 = sonar_frontend(
+                wav, lengths, n_frames, self.config.n_mels
+            )
+            return self.model.apply(params, feats, mask2)
 
         self._forward = _apply_wav
 

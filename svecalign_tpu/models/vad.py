@@ -3,12 +3,18 @@
 Two interchangeable probability models feeding one faithful port of the
 silero ``get_speech_timestamps`` hysteresis post-processing (the output
 contract of reference svecalign/preprocess/segment.py:84-128 — "start end"
-frame lines @16 kHz):
+frame lines @16 kHz; the reference pins silero-vad v4.0,
+preprocess/segment.py:49-52):
 
-- :class:`SileroStyleVAD` — silero-v4-shaped network (STFT frontend, conv
-  encoder, recurrent decoder, per-chunk speech probability), weights
-  loadable from an .npz converted from the torchscript checkpoint. The
-  whole file's chunks run as ONE batched lax.scan on device.
+- :class:`SileroV4VAD` — the silero v4 network graph (torch-stft conv-basis
+  STFT frontend -> SileroVadBlock conv stack -> LSTM decoder -> conv +
+  sigmoid head), weights auto-loaded from an .npz produced by
+  ``tools/convert_torch_ckpt.py silero`` on the published
+  ``silero_vad.jit``. The converter is shape-driven: channel counts,
+  kernel sizes and the LSTM layout are derived from the checkpoint
+  tensors, so a real v4 checkpoint drops in without manual mapping. The
+  whole file's chunks run as ONE ``lax.scan`` on device (recurrent state
+  carried across chunks, as in the original streaming model).
 - :class:`EnergyVAD` — weight-free adaptive log-energy model, so the
   pipeline is fully runnable offline; good segmentation on clean plenary
   speech.
@@ -16,9 +22,8 @@ frame lines @16 kHz):
 
 import dataclasses
 
-from typing import List, Optional
+from typing import List, Optional, Sequence, Tuple
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,82 +36,214 @@ SAMPLE_RATE = 16000
 
 
 # ---------------------------------------------------------------------------
-# Probability models
+# Silero v4 probability network
 # ---------------------------------------------------------------------------
 
 
 @dataclasses.dataclass(frozen=True)
-class SileroStyleConfig:
-    window_size: int = 1536  # samples per chunk @16 kHz (silero v4 default)
+class SileroV4Config:
+    """Geometry of the v4 graph. Everything weight-shaped (channel counts,
+    kernel sizes, LSTM layout) is re-derived from the checkpoint at load
+    time; the fields here cover the wiring the weights cannot encode
+    (sample chunking, STFT hop, reflection pad, conv strides, temporal
+    pooling of the per-frame head outputs into the per-chunk probability).
+    """
+
+    window_size: int = 1536  # samples per chunk @16 kHz (v4 default)
     n_fft: int = 256
     hop: int = 64
-    conv_dims: tuple = (64, 64, 128, 128)
-    rnn_dim: int = 128
+    pad: int = 64  # ReflectionPad1d on both sides before the STFT conv
+    # channel plan when initializing WITHOUT a checkpoint (matches the v4
+    # tensor shapes: 129-bin magnitude -> first_layer -> 4 encoder blocks)
+    first_out: int = 128
+    encoder_out: Tuple[int, ...] = (128, 64, 64, 128)
+    encoder_stride: Tuple[int, ...] = (2, 2, 1, 1)
+    kernel: int = 3
+    lstm_hidden: int = 64
+    lstm_layers: int = 2
 
 
-class _SileroNet(nn.Module):
-    config: SileroStyleConfig
+def _v4_random_weights(cfg: SileroV4Config, seed: int = 0) -> dict:
+    """Random weights in the exact v4 state-dict layout (torch conv (out,
+    in, k); LSTM (4h, in)). Used when no checkpoint is available — keeps
+    the graph runnable for plumbing tests and benchmarks."""
+    rng = np.random.default_rng(seed)
+    bins = cfg.n_fft // 2 + 1
 
-    @nn.compact
-    def __call__(self, spec: jax.Array, state):
-        """spec: (B, frames, n_fft//2+1) magnitude STFT of one chunk;
-        state: (B, rnn_dim) GRU carry. Returns (prob (B,), new state)."""
-        cfg = self.config
-        x = spec
-        for i, dim in enumerate(cfg.conv_dims):
-            x = nn.Conv(dim, kernel_size=(3,), strides=(2,), name=f"conv_{i}")(x)
-            x = nn.relu(x)
-        x = jnp.mean(x, axis=1)  # (B, C)
-        state = nn.GRUCell(features=cfg.rnn_dim, name="gru")(state, x)[0]
-        out = nn.Dense(1, name="head")(state)
-        return jax.nn.sigmoid(out[:, 0]), state
+    def conv(out, cin, k):
+        return rng.normal(0, (cin * k) ** -0.5, (out, cin, k)).astype(np.float32)
+
+    w = {"feature_extractor.forward_basis_buffer": _fourier_basis(cfg.n_fft)}
+    w["first_layer.0.reparam_conv.weight"] = conv(cfg.first_out, bins, cfg.kernel)
+    w["first_layer.0.reparam_conv.bias"] = np.zeros(cfg.first_out, np.float32)
+    cin = cfg.first_out
+    for i, out in enumerate(cfg.encoder_out):
+        w[f"encoder.{i}.reparam_conv.weight"] = conv(out, cin, cfg.kernel)
+        w[f"encoder.{i}.reparam_conv.bias"] = np.zeros(out, np.float32)
+        cin = out
+    h = cfg.lstm_hidden
+    for j in range(cfg.lstm_layers):
+        lin = cin if j == 0 else h
+        sfx = f"_l{j}" if cfg.lstm_layers > 1 else ""
+        w[f"decoder.rnn.weight_ih{sfx}"] = rng.normal(0, lin**-0.5, (4 * h, lin)).astype(np.float32)
+        w[f"decoder.rnn.weight_hh{sfx}"] = rng.normal(0, h**-0.5, (4 * h, h)).astype(np.float32)
+        w[f"decoder.rnn.bias_ih{sfx}"] = np.zeros(4 * h, np.float32)
+        w[f"decoder.rnn.bias_hh{sfx}"] = np.zeros(4 * h, np.float32)
+    w["decoder.decoder.2.weight"] = conv(1, h, 1)
+    w["decoder.decoder.2.bias"] = np.zeros(1, np.float32)
+    return w
 
 
-class SileroStyleVAD:
-    """Chunked neural VAD with recurrent state, batched over files."""
+def _fourier_basis(n_fft: int) -> np.ndarray:
+    """torch-stft forward basis: [real; imag] DFT rows x hann window,
+    shape (2*(n_fft//2+1), 1, n_fft) — the layout of v4's
+    ``feature_extractor.forward_basis_buffer``."""
+    bins = n_fft // 2 + 1
+    fourier = np.fft.fft(np.eye(n_fft))[:bins]
+    basis = np.vstack([np.real(fourier), np.imag(fourier)]).astype(np.float32)
+    window = np.hanning(n_fft).astype(np.float32)
+    return (basis * window[None, :])[:, None, :]
 
-    def __init__(self, config: SileroStyleConfig = SileroStyleConfig(),
+
+class SileroV4VAD:
+    """Silero v4 VAD graph in JAX, streaming state carried across chunks.
+
+    Weight layout is the v4 torchscript state dict (``_model.`` prefix
+    stripped): ``feature_extractor.forward_basis_buffer``,
+    ``first_layer.0.reparam_conv.*``, ``encoder.{i}.reparam_conv.*``,
+    ``decoder.rnn.*`` (LSTMCell or multi-layer LSTM ``_l{j}`` names), and
+    ``decoder.decoder.2.*`` (the 1x1 conv head before the sigmoid).
+    ``tools/convert_torch_ckpt.py silero silero_vad.jit out.npz`` emits
+    exactly these keys; loading derives all channel/kernel/LSTM geometry
+    from the tensor shapes. Wiring the weights cannot encode (strides,
+    reflection pad, temporal pooling) comes from :class:`SileroV4Config`
+    and is overridable if a future silero revision changes it.
+    """
+
+    def __init__(self, config: SileroV4Config = SileroV4Config(),
                  ckpt_path: Optional[str] = None, seed: int = 0):
         self.config = config
-        self.net = _SileroNet(config)
-
-        frames = (config.window_size - config.n_fft) // config.hop + 1
-        dummy_spec = jnp.zeros((1, frames, config.n_fft // 2 + 1))
-        dummy_state = jnp.zeros((1, config.rnn_dim))
-        from svecalign_tpu.models.param_utils import load_params_npz, numpy_init
-
         if ckpt_path:
-            self.params = load_params_npz(ckpt_path)
+            data = np.load(ckpt_path)
+            self.weights = {k: np.asarray(v, np.float32) for k, v in data.items()}
+            # 16k branch preferred when both are present
+            if any(k.startswith("_model.") for k in self.weights):
+                self.weights = {
+                    k[len("_model."):]: v for k, v in self.weights.items()
+                    if k.startswith("_model.")
+                }
+            logger.info(f"Loaded silero weights from {ckpt_path}")
         else:
-            self.params = numpy_init(self.net, (dummy_spec, dummy_state), seed)
+            self.weights = _v4_random_weights(config, seed)
             logger.warning(
-                "SileroStyleVAD initialized with RANDOM weights; use --vad_model "
+                "SileroV4VAD initialized with RANDOM weights; use --vad_model "
                 "energy or provide --vad_ckpt for meaningful segmentation."
             )
-        self.params = jax.device_put(self.params)
-        self._window = jnp.asarray(np.hanning(config.n_fft).astype(np.float32))
+        self._build()
+
+    # -- geometry derived from weights -------------------------------------
+    def _conv_keys(self) -> Sequence[str]:
+        n = 0
+        while f"encoder.{n}.reparam_conv.weight" in self.weights:
+            n += 1
+        return ["first_layer.0.reparam_conv"] + [
+            f"encoder.{i}.reparam_conv" for i in range(n)
+        ]
+
+    def _lstm_layout(self):
+        """Returns [(w_ih, w_hh, b_ih, b_hh)] per layer, handling both
+        LSTMCell names (weight_ih) and nn.LSTM names (weight_ih_l{j})."""
+        w = self.weights
+        layers = []
+        if "decoder.rnn.weight_ih" in w:
+            layers.append(tuple(w[f"decoder.rnn.{k}"] for k in
+                                ("weight_ih", "weight_hh", "bias_ih", "bias_hh")))
+        else:
+            j = 0
+            while f"decoder.rnn.weight_ih_l{j}" in w:
+                layers.append(tuple(w[f"decoder.rnn.{k}_l{j}"] for k in
+                                    ("weight_ih", "weight_hh", "bias_ih", "bias_hh")))
+                j += 1
+        if not layers:
+            raise KeyError("no decoder.rnn.* LSTM weights in checkpoint")
+        return layers
+
+    def _build(self):
+        cfg = self.config
+        basis = jnp.asarray(self.weights["feature_extractor.forward_basis_buffer"])
+        bins = basis.shape[0] // 2
+        convs = []
+        for i, key in enumerate(self._conv_keys()):
+            stride = 1
+            if key.startswith("encoder."):
+                idx = int(key.split(".")[1])
+                if idx < len(cfg.encoder_stride):
+                    stride = cfg.encoder_stride[idx]
+            convs.append((
+                jnp.asarray(self.weights[f"{key}.weight"]),
+                jnp.asarray(self.weights[f"{key}.bias"]),
+                stride,
+            ))
+        lstm = [tuple(jnp.asarray(a) for a in layer) for layer in self._lstm_layout()]
+        head_w = jnp.asarray(self.weights["decoder.decoder.2.weight"])[:, :, 0]  # (1, h)
+        head_b = jnp.asarray(self.weights["decoder.decoder.2.bias"])
+        self._hidden = lstm[0][1].shape[1]
+        self._n_lstm = len(lstm)
+
+        def stft_mag(chunk):
+            # ReflectionPad1d(pad) then conv1d(basis, stride=hop): the
+            # torch-stft formulation baked into the v4 graph
+            x = jnp.pad(chunk, cfg.pad, mode="reflect")
+            frames = x[
+                (jnp.arange(0, x.shape[0] - cfg.n_fft + 1, cfg.hop))[:, None]
+                + jnp.arange(cfg.n_fft)[None, :]
+            ]  # (T, n_fft)
+            proj = jnp.dot(frames, basis[:, 0, :].T)  # (T, 2*bins)
+            re, im = proj[:, :bins], proj[:, bins:]
+            return jnp.sqrt(re * re + im * im + 1e-12)  # (T, bins)
+
+        def conv_stack(spec):
+            # spec (T, bins) -> (T', C); torch conv1d with pad k//2
+            x = spec
+            for w_, b_, stride in convs:
+                k = w_.shape[2]
+                xp = jnp.pad(x, ((k // 2, k // 2), (0, 0)))
+                x = jax.lax.conv_general_dilated(
+                    xp[None], jnp.transpose(w_, (2, 1, 0)),
+                    window_strides=(stride,), padding="VALID",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )[0] + b_[None, :]
+                x = jax.nn.relu(x)
+            return x  # (T', C)
+
+        def lstm_step(carry, x_t):
+            # stacked LSTM cells; carry: (layers, 2, h)
+            new_carry = []
+            inp = x_t
+            for j, (w_ih, w_hh, b_ih, b_hh) in enumerate(lstm):
+                h_prev, c_prev = carry[j, 0], carry[j, 1]
+                gates = w_ih @ inp + w_hh @ h_prev + b_ih + b_hh
+                i_g, f_g, g_g, o_g = jnp.split(gates, 4)
+                c = jax.nn.sigmoid(f_g) * c_prev + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+                h = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+                new_carry.append(jnp.stack([h, c]))
+                inp = h
+            return jnp.stack(new_carry), inp
+
+        def chunk_step(state, chunk):
+            feats = conv_stack(stft_mag(chunk))  # (T', C)
+            state, hs = jax.lax.scan(lstm_step, state, feats)
+            # decoder head: ReLU -> 1x1 conv -> sigmoid, mean over frames
+            logits = jax.nn.relu(hs) @ head_w.T + head_b  # (T', 1)
+            return state, jnp.mean(jax.nn.sigmoid(logits))
 
         @jax.jit
-        def run(params, chunks_i16, scale):  # chunks: (n_chunks, window) int16
-            cfg2 = self.config
+        def run(chunks_i16, scale):
             # int16 upload + device dequant: half the H2D bytes of fp32
             # over the ~45 MB/s tunnel (CLAUDE.md)
             chunks = chunks_i16.astype(jnp.float32) * scale
-
-            def stft_mag(chunk):
-                starts = jnp.arange(0, cfg2.window_size - cfg2.n_fft + 1, cfg2.hop)
-                frames_ = chunk[starts[:, None] + jnp.arange(cfg2.n_fft)[None, :]]
-                frames_ = frames_ * self._window[None, :]
-                return jnp.abs(jnp.fft.rfft(frames_, axis=1))
-
-            specs = jax.vmap(stft_mag)(chunks)  # (n, frames, bins)
-
-            def step(state, spec):
-                prob, state = self.net.apply(params, spec[None], state)
-                return state, prob[0]
-
-            state0 = jnp.zeros((1, cfg2.rnn_dim))
-            _, probs = jax.lax.scan(step, state0, specs)
+            state0 = jnp.zeros((self._n_lstm, 2, self._hidden))
+            _, probs = jax.lax.scan(chunk_step, state0, chunks)
             return probs
 
         self._run = run
@@ -120,7 +257,6 @@ class SileroStyleVAD:
         padded[: len(audio)] = np.rint(np.asarray(audio) / scale).astype(np.int16)
         return np.asarray(
             self._run(
-                self.params,
                 jnp.asarray(padded.reshape(n_chunks, w)),
                 jnp.float32(scale),
             )
@@ -129,6 +265,11 @@ class SileroStyleVAD:
     @property
     def window_size(self) -> int:
         return self.config.window_size
+
+
+# Backwards-compatible alias (round 1 shipped a generic "silero-style" net;
+# the faithful v4 graph replaced it)
+SileroStyleVAD = SileroV4VAD
 
 
 class EnergyVAD:

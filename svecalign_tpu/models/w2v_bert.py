@@ -1,0 +1,244 @@
+"""Faithful w2v-BERT 2.0 conformer encoder in JAX/flax.
+
+This is the architecture of SONAR's speech encoders (w2v-BERT 2.0 /
+SeamlessM4T-v2 speech frontend; reference consumes it through
+``SpeechToEmbeddingModelPipeline``, svecalign/utils/embed_model_utils.py:
+80-99). The module graph matches ``transformers.Wav2Vec2BertModel``
+operation-for-operation so converted checkpoints load and reproduce HF
+outputs numerically (tests/test_hf_equivalence.py::test_w2v_bert_*):
+
+  feature_projection (LN + Linear on stacked 160-dim mels)
+  -> N conformer layers, each:
+       ffn1 (LN -> Linear -> swish -> Linear), half-step residual
+       self-attention (LN -> MHSA with relative-position terms)
+       conv module (LN -> pointwise 2H + GLU -> CAUSAL depthwise conv k=31
+                    -> LN -> swish -> pointwise), residual
+       ffn2 half-step residual, final LN
+
+Both w2v-BERT position-embedding flavors are implemented:
+- "relative_key": learned distance embeddings, clamp(j-i, -64, +8), the
+  SeamlessM4T-v2 / SONAR default;
+- "relative": Transformer-XL style sinusoidal + pos_bias_u/v and the
+  shift trick (SeamlessM4T-v1 / older conformer checkpoints).
+
+TPU notes: everything is static-shape and jit-friendly; ``dtype`` selects
+the compute precision (bf16 for mining throughput, fp32 for parity tests);
+params stay fp32. The causal depthwise conv and the LayerNorms follow the
+HF eval-mode semantics exactly (dropout is inference-time identity).
+"""
+
+import dataclasses
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class W2vBertConfig:
+    feature_projection_input_dim: int = 160
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    conv_depthwise_kernel_size: int = 31
+    layer_norm_eps: float = 1e-5
+    position_embeddings_type: str = "relative_key"  # relative_key|relative|none
+    left_max_position_embeddings: int = 64
+    right_max_position_embeddings: int = 8
+    dtype: str = "float32"
+
+    @property
+    def head_size(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def _sinusoidal_rel_pe(seq_len: int, d_model: int) -> np.ndarray:
+    """Transformer-XL relative positional table, length 2*T-1, laid out
+    [pos T-1 .. 1, 0, -1 .. -(T-1)] exactly like HF's
+    Wav2Vec2BertRelPositionalEmbedding (positive part flipped, negative
+    part from index 1)."""
+    position = np.arange(seq_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * -(math.log(10000.0) / d_model)
+    )
+    pe_pos = np.zeros((seq_len, d_model), np.float32)
+    pe_neg = np.zeros((seq_len, d_model), np.float32)
+    pe_pos[:, 0::2] = np.sin(position * div_term)
+    pe_pos[:, 1::2] = np.cos(position * div_term)
+    pe_neg[:, 0::2] = np.sin(-position * div_term)
+    pe_neg[:, 1::2] = np.cos(-position * div_term)
+    return np.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0)  # (2T-1, d)
+
+
+class _FeedForward(nn.Module):
+    config: W2vBertConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        x = nn.Dense(cfg.intermediate_size, dtype=dtype,
+                     name="intermediate_dense")(x)
+        x = nn.silu(x)  # hidden_act = swish
+        return nn.Dense(cfg.hidden_size, dtype=dtype, name="output_dense")(x)
+
+
+class _SelfAttention(nn.Module):
+    config: W2vBertConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias, rel_pe):
+        """x: (B, T, H); attn_bias: (B, 1, T, T) additive or None;
+        rel_pe: (2T-1, H) sinusoidal table for the 'relative' flavor."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        b, t, _ = x.shape
+        nh, dh = cfg.num_attention_heads, cfg.head_size
+
+        q = nn.Dense(cfg.hidden_size, dtype=dtype, name="linear_q")(x)
+        k = nn.Dense(cfg.hidden_size, dtype=dtype, name="linear_k")(x)
+        v = nn.Dense(cfg.hidden_size, dtype=dtype, name="linear_v")(x)
+        q = q.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)  # (B, H, T, dh)
+        k = k.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)
+
+        if cfg.position_embeddings_type == "relative":
+            # Transformer-XL: (q+u)k^T + shifted (q+v)pe^T, /sqrt(dh)
+            pos_bias_u = self.param("pos_bias_u", nn.initializers.zeros, (nh, dh))
+            pos_bias_v = self.param("pos_bias_v", nn.initializers.zeros, (nh, dh))
+            pe = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
+                          name="linear_pos")(rel_pe.astype(dtype))
+            pe = pe.reshape(-1, nh, dh).transpose(1, 0, 2)  # (H, 2T-1, dh)
+
+            q_u = q + pos_bias_u[None, :, None, :].astype(dtype)
+            q_v = q + pos_bias_v[None, :, None, :].astype(dtype)
+            scores_ac = jnp.einsum("bhld,bhrd->bhlr", q_u, k)
+            scores_bd = jnp.einsum("bhld,hrd->bhlr", q_v, pe)  # (B,H,T,2T-1)
+            # shift trick (HF _apply_relative_embeddings step 5)
+            r = scores_bd.shape[-1]
+            bd = jnp.pad(scores_bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+            bd = bd.reshape(b, nh, r + 1, t)[:, :, 1:].reshape(b, nh, t, r)
+            scores_bd = bd[..., : r // 2 + 1]
+            scores = (scores_ac + scores_bd) / math.sqrt(dh)
+        else:
+            scores = jnp.einsum("bhld,bhrd->bhlr", q, k) / math.sqrt(dh)
+            if cfg.position_embeddings_type == "relative_key":
+                n_pos = (cfg.left_max_position_embeddings
+                         + cfg.right_max_position_embeddings + 1)
+                table = self.param(
+                    "distance_embedding", nn.initializers.normal(0.02),
+                    (n_pos, dh),
+                )
+                pos = jnp.arange(t)
+                distance = jnp.clip(
+                    pos[None, :] - pos[:, None],
+                    -cfg.left_max_position_embeddings,
+                    cfg.right_max_position_embeddings,
+                )
+                rel = jnp.take(
+                    table, distance + cfg.left_max_position_embeddings, axis=0
+                ).astype(dtype)  # (T, T, dh)
+                scores = scores + jnp.einsum("bhld,lrd->bhlr", q, rel) / math.sqrt(dh)
+
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+        out = jnp.einsum("bhlr,bhrd->bhld", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * dh)
+        return nn.Dense(cfg.hidden_size, dtype=dtype, name="linear_out")(out)
+
+
+class _ConvModule(nn.Module):
+    config: W2vBertConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask):
+        """pad_mask: (B, T) bool, True = valid. The depthwise conv is
+        CAUSAL (left pad k-1), matching Wav2Vec2BertConvolutionModule."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        h = cfg.hidden_size
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="layer_norm")(x).astype(dtype)
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[:, :, None], x, 0.0)
+        x = nn.Dense(2 * h, use_bias=False, dtype=dtype, name="pointwise_conv1")(x)
+        x = x[..., :h] * jax.nn.sigmoid(x[..., h:])  # GLU over channels
+        x = nn.Conv(
+            features=h,
+            kernel_size=(cfg.conv_depthwise_kernel_size,),
+            feature_group_count=h,
+            padding=[(cfg.conv_depthwise_kernel_size - 1, 0)],  # causal
+            use_bias=False,
+            dtype=dtype,
+            name="depthwise_conv",
+        )(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="depthwise_layer_norm")(x).astype(dtype)
+        x = nn.silu(x)
+        return nn.Dense(h, use_bias=False, dtype=dtype, name="pointwise_conv2")(x)
+
+
+class W2vBertEncoderLayer(nn.Module):
+    config: W2vBertConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias, pad_mask, rel_pe):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="ffn1_layer_norm")(x).astype(dtype)
+        x = x + 0.5 * _FeedForward(cfg, name="ffn1")(y)
+
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="self_attn_layer_norm")(x).astype(dtype)
+        x = x + _SelfAttention(cfg, name="self_attn")(y, attn_bias, rel_pe)
+
+        x = x + _ConvModule(cfg, name="conv_module")(x, pad_mask)
+
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="ffn2_layer_norm")(x).astype(dtype)
+        x = x + 0.5 * _FeedForward(cfg, name="ffn2")(y)
+
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                            name="final_layer_norm")(x).astype(dtype)
+
+
+class W2vBertModel(nn.Module):
+    """feature_projection + conformer encoder == Wav2Vec2BertModel with
+    add_adapter=False (SONAR's speech trunk has no adapter)."""
+
+    config: W2vBertConfig = W2vBertConfig()
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, pad_mask=None) -> jax.Array:
+        """feats: (B, T, feature_projection_input_dim) stacked log-mels;
+        pad_mask: (B, T) bool, True = valid frame. Returns (B, T, H)."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="fp_layer_norm")(feats.astype(jnp.float32))
+        x = nn.Dense(cfg.hidden_size, dtype=dtype, name="fp_projection")(
+            x.astype(dtype)
+        )
+
+        attn_bias = None
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[:, :, None], x, 0.0)
+            neg = jnp.finfo(jnp.float32).min
+            attn_bias = jnp.where(pad_mask[:, None, None, :], 0.0, neg)
+
+        rel_pe = None
+        if cfg.position_embeddings_type == "relative":
+            rel_pe = jnp.asarray(_sinusoidal_rel_pe(x.shape[1], cfg.hidden_size))
+
+        for i in range(cfg.num_hidden_layers):
+            x = W2vBertEncoderLayer(cfg, name=f"layers_{i}")(
+                x, attn_bias, pad_mask, rel_pe
+            )
+        return x

@@ -41,20 +41,22 @@ def parse_args():
                         help="accepted for CLI parity; selects the local model family.")
     parser.add_argument("--vad_model", type=str, default="energy",
                         choices=["silero_jax", "energy"],
-                        help="probability model: silero-style JAX net (needs --vad_ckpt "
-                             "for meaningful output) or the weight-free energy VAD.")
+                        help="probability model: the silero v4 JAX graph (needs "
+                             "--vad_ckpt, converted via tools/convert_torch_ckpt.py "
+                             "silero) or the weight-free energy VAD.")
     parser.add_argument("--vad_ckpt", type=str, default=None,
-                        help=".npz weights for the silero-style JAX VAD.")
+                        help=".npz silero v4 weights (auto-converted; geometry "
+                             "derived from tensor shapes).")
     parser.add_argument("--threshold", type=float, default=0.5)
     return parser.parse_args()
 
 
 def build_vad(vad_model: str, vad_ckpt: Optional[str]):
-    from svecalign_tpu.models.vad import EnergyVAD, SileroStyleVAD
+    from svecalign_tpu.models.vad import EnergyVAD, SileroV4VAD
 
     if vad_model == "energy":
         return EnergyVAD()
-    return SileroStyleVAD(ckpt_path=vad_ckpt)
+    return SileroV4VAD(ckpt_path=vad_ckpt)
 
 
 def vad(

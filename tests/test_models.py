@@ -82,12 +82,117 @@ def test_energy_vad_silence_gives_nothing():
     assert get_speech_timestamps(audio, EnergyVAD()) == []
 
 
-def test_silero_style_vad_runs():
-    vad = SileroStyleVAD()
+def test_silero_v4_vad_runs():
+    vad = SileroStyleVAD()  # alias for SileroV4VAD
     rng = np.random.default_rng(4)
     audio = rng.standard_normal(16000 * 2).astype(np.float32)
     probs = vad.speech_probs(audio)
     assert probs.shape == (-(-len(audio) // vad.window_size),)
+    assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_silero_v4_converter_roundtrip(tmp_path):
+    """Build a torchscript module with silero v4's exact module/key layout
+    (STFT basis buffer, SileroVadBlock reparam convs, LSTMCell decoder,
+    1x1 conv head), convert it with tools/convert_torch_ckpt.py silero,
+    and check SileroV4VAD loads the .npz WITHOUT manual steps, derives the
+    geometry from tensor shapes, and satisfies the output contract
+    (per-chunk probabilities in [0,1] + hysteresis timestamps)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_torch_ckpt import convert_silero
+
+    from svecalign_tpu.models.vad import SileroV4VAD, probs_to_timestamps
+
+    class Block(tnn.Module):
+        def __init__(self, cin, cout, k):
+            super().__init__()
+            self.reparam_conv = tnn.Conv1d(cin, cout, k, padding=k // 2)
+
+        def forward(self, x):
+            return torch.relu(self.reparam_conv(x))
+
+    class Decoder(tnn.Module):
+        def __init__(self, cin, h):
+            super().__init__()
+            self.rnn = tnn.LSTMCell(cin, h)
+            self.decoder = tnn.Sequential(
+                tnn.Dropout(0.0), tnn.ReLU(), tnn.Conv1d(h, 1, 1), tnn.Sigmoid()
+            )
+
+        def forward(self, x):
+            return x
+
+    class FeatureExtractor(tnn.Module):
+        def __init__(self, n_fft):
+            super().__init__()
+            basis = torch.randn(2 * (n_fft // 2 + 1), 1, n_fft)
+            self.register_buffer("forward_basis_buffer", basis)
+
+        def forward(self, x):
+            return x
+
+    class VADRNNJIT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.feature_extractor = FeatureExtractor(256)
+            self.first_layer = tnn.Sequential(Block(129, 96, 3))
+            self.encoder = tnn.Sequential(
+                Block(96, 96, 3), Block(96, 48, 3), Block(48, 48, 3), Block(48, 96, 3)
+            )
+            self.decoder = Decoder(96, 48)
+
+        def forward(self, x):
+            return x
+
+    class VADRNNJITMerge(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self._model = VADRNNJIT()
+
+        def forward(self, x):
+            return x
+
+    torch.manual_seed(0)
+    jit = torch.jit.script(VADRNNJITMerge())
+    jit_path = str(tmp_path / "silero_vad.jit")
+    npz_path = str(tmp_path / "silero_v4.npz")
+    torch.jit.save(jit, jit_path)
+    convert_silero(jit_path, npz_path)
+
+    vad = SileroV4VAD(ckpt_path=npz_path)
+    # geometry derived from the checkpoint, not the default config
+    assert vad._hidden == 48 and vad._n_lstm == 1
+
+    sr = 16000
+    t = np.arange(sr * 3) / sr
+    audio = (0.2 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    probs = vad.speech_probs(audio)
+    assert probs.shape == (-(-len(audio) // vad.window_size),)
+    assert np.all((probs >= 0) & (probs <= 1))
+    spans = probs_to_timestamps(probs, len(audio), vad.window_size)
+    for s in spans:
+        assert 0 <= s["start"] < s["end"] <= len(audio)
+
+
+def test_silero_v4_two_layer_lstm_names(tmp_path):
+    """nn.LSTM-style weight_ih_l{j} key names must also load (the other
+    published silero layout)."""
+    from svecalign_tpu.models.vad import SileroV4Config, SileroV4VAD, _v4_random_weights
+
+    cfg = SileroV4Config(lstm_layers=2, lstm_hidden=32)
+    w = _v4_random_weights(cfg, seed=1)
+    assert "decoder.rnn.weight_ih_l1" in w
+    p = str(tmp_path / "w.npz")
+    np.savez(p, **w)
+    vad = SileroV4VAD(config=cfg, ckpt_path=p)
+    assert vad._n_lstm == 2 and vad._hidden == 32
+    rng = np.random.default_rng(5)
+    probs = vad.speech_probs(rng.standard_normal(20000).astype(np.float32))
     assert np.all((probs >= 0) & (probs <= 1))
 
 

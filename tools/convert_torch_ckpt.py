@@ -206,19 +206,160 @@ def convert_hf_wav2vec2(ckpt_path: str, out_path: str, num_heads: int = 16) -> N
     print(f"wrote {len(out)} tensors to {out_path}")
 
 
+def map_hf_w2v_bert_state(state: dict, prefix: str = "") -> dict:
+    """Map a transformers.Wav2Vec2BertModel state dict onto the
+    models/w2v_bert.py W2vBertModel parameter tree. Returns
+    {flax 'a/b/c' path: array}. ``prefix`` prepends a tree path (e.g.
+    'trunk/') for models that embed the w2v-BERT as a submodule.
+
+    Layout rules: torch Linear (out, in) -> flax Dense kernel (in, out);
+    pointwise Conv1d (out, in, 1) -> Dense kernel (in, out); depthwise
+    Conv1d (H, 1, k) -> flax Conv kernel (k, 1, H); distance/positional
+    embedding tables copy as-is. Equivalence is enforced numerically in
+    tests/test_hf_equivalence.py::test_w2v_bert_matches_hf.
+    """
+    sd = {k: (v.detach().cpu().float().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in state.items()}
+    out = {}
+    unmatched = []
+
+    _ln = lambda k: "scale" if k.endswith("weight") else "bias"
+    for k, arr in sd.items():
+        if k.startswith("masked_spec_embed") or ".num_batches_tracked" in k:
+            continue
+        if k.startswith("feature_projection.layer_norm."):
+            out[f"{prefix}fp_layer_norm/{_ln(k)}"] = arr
+        elif k == "feature_projection.projection.weight":
+            out[f"{prefix}fp_projection/kernel"] = arr.T
+        elif k == "feature_projection.projection.bias":
+            out[f"{prefix}fp_projection/bias"] = arr
+        elif k.startswith("encoder.layers."):
+            parts = k.split(".")
+            i = parts[2]
+            rest = ".".join(parts[3:])
+            base = f"{prefix}layers_{i}"
+            if rest.startswith(("ffn1_layer_norm.", "self_attn_layer_norm.",
+                                "ffn2_layer_norm.", "final_layer_norm.")):
+                mod = rest.split(".")[0]
+                out[f"{base}/{mod}/{_ln(rest)}"] = arr
+            elif rest.startswith(("ffn1.", "ffn2.")):
+                ffn, dense, leaf = rest.split(".")
+                out[f"{base}/{ffn}/{dense}/" + ("kernel" if leaf == "weight" else "bias")] = (
+                    arr.T if leaf == "weight" else arr
+                )
+            elif rest.startswith("self_attn."):
+                sub = rest[len("self_attn."):]
+                if sub == "distance_embedding.weight":
+                    out[f"{base}/self_attn/distance_embedding"] = arr
+                elif sub in ("pos_bias_u", "pos_bias_v"):
+                    out[f"{base}/self_attn/{sub}"] = arr
+                elif sub == "linear_pos.weight":
+                    out[f"{base}/self_attn/linear_pos/kernel"] = arr.T
+                else:
+                    name, leaf = sub.split(".")
+                    out[f"{base}/self_attn/{name}/" + ("kernel" if leaf == "weight" else "bias")] = (
+                        arr.T if leaf == "weight" else arr
+                    )
+            elif rest.startswith("conv_module."):
+                sub = rest[len("conv_module."):]
+                if sub.startswith(("layer_norm.", "depthwise_layer_norm.")):
+                    mod = sub.split(".")[0]
+                    out[f"{base}/conv_module/{mod}/{_ln(sub)}"] = arr
+                elif sub == "pointwise_conv1.weight":
+                    out[f"{base}/conv_module/pointwise_conv1/kernel"] = arr[:, :, 0].T
+                elif sub == "pointwise_conv2.weight":
+                    out[f"{base}/conv_module/pointwise_conv2/kernel"] = arr[:, :, 0].T
+                elif sub == "depthwise_conv.weight":
+                    out[f"{base}/conv_module/depthwise_conv/kernel"] = np.transpose(
+                        arr, (2, 1, 0)
+                    )
+                else:
+                    unmatched.append(k)
+            else:
+                unmatched.append(k)
+        else:
+            unmatched.append(k)
+
+    if unmatched:
+        print(f"UNMATCHED ({len(unmatched)}):")
+        for u in unmatched[:40]:
+            print("  ", u)
+    return out
+
+
+def convert_sonar(ckpt_path: str, out_path: str) -> None:
+    """Convert a w2v-BERT checkpoint (transformers Wav2Vec2BertModel
+    directory, or a raw torch state dict with HF key names) into the SONAR
+    speech encoder's trunk weights. The SONAR pooler (learned-query
+    attention pooling), if present under 'pooler.*' keys, maps too."""
+    import torch
+
+    if Path(ckpt_path).is_dir():
+        from transformers import Wav2Vec2BertModel
+
+        model = Wav2Vec2BertModel.from_pretrained(ckpt_path)
+        state = model.state_dict()
+    else:
+        state = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        if "model" in state:
+            state = state["model"]
+        if "state_dict" in state:
+            state = state["state_dict"]
+
+    trunk = {k: v for k, v in state.items() if not k.startswith("pooler.")}
+    out = map_hf_w2v_bert_state(trunk, prefix="trunk/")
+    for k, v in state.items():
+        if k.startswith("pooler."):
+            arr = v.detach().cpu().float().numpy()
+            name = k[len("pooler."):]
+            if name.endswith("weight") and arr.ndim == 2:
+                out["pooler/" + name.rsplit(".", 1)[0].replace(".", "/") + "/kernel"] = arr.T
+            else:
+                out["pooler/" + name.replace(".", "/")] = arr
+    np.savez(out_path, **out)
+    print(f"wrote {len(out)} tensors to {out_path}")
+
+
 def convert_silero(ckpt_path: str, out_path: str) -> None:
+    """Convert the published silero-vad v4 torchscript (silero_vad.jit)
+    into an .npz that models/vad.py SileroV4VAD loads WITHOUT manual
+    steps: the 16 kHz branch's state dict is emitted under its original
+    key names (``_model.`` prefix stripped); SileroV4VAD derives channel
+    counts, kernel sizes and the LSTM layout from the tensor shapes.
+
+    Keys expected from v4 (VADRNNJITMerge._model / VADRNNJIT):
+      feature_extractor.forward_basis_buffer      (2*(nfft//2+1), 1, nfft)
+      first_layer.0.reparam_conv.{weight,bias}
+      encoder.{i}.reparam_conv.{weight,bias}
+      decoder.rnn.weight_ih[_l{j}] / weight_hh / bias_ih / bias_hh
+      decoder.decoder.2.{weight,bias}             (1x1 conv head)
+    Unrecognized keys are kept verbatim (and reported) so nothing is
+    silently dropped if a checkpoint revision adds tensors.
+    """
     import torch
 
     model = torch.jit.load(ckpt_path, map_location="cpu")
-    out = {}
-    for name, tensor in model.state_dict().items():
-        out[name.replace(".", "/")] = tensor.detach().cpu().float().numpy()
-    np.savez(out_path, **out)
-    print(
-        f"wrote {len(out)} raw tensors to {out_path}; map them onto "
-        "models/vad.py SileroStyleConfig manually (architectures differ "
-        "across silero versions)."
+    state = {k: v.detach().cpu().float().numpy()
+             for k, v in model.state_dict().items()}
+
+    # prefer the 16 kHz branch when the merged 8k/16k container is given
+    if any(k.startswith("_model.") for k in state):
+        state = {k[len("_model."):]: v for k, v in state.items()
+                 if k.startswith("_model.")}
+
+    known_prefixes = (
+        "feature_extractor.", "first_layer.", "encoder.", "decoder.",
     )
+    extra = [k for k in state if not k.startswith(known_prefixes)]
+    if extra:
+        print(f"NOTE: {len(extra)} unrecognized tensors kept verbatim:")
+        for k in extra[:20]:
+            print("  ", k)
+
+    np.savez(out_path, **state)
+    print(f"wrote {len(state)} tensors to {out_path}; load with "
+          "SileroV4VAD(ckpt_path=...) / --vad_ckpt (geometry is derived "
+          "from the tensor shapes).")
 
 
 if __name__ == "__main__":
@@ -229,5 +370,7 @@ if __name__ == "__main__":
         convert_hf_wav2vec2(src, dst)
     elif kind == "silero":
         convert_silero(src, dst)
+    elif kind == "sonar":
+        convert_sonar(src, dst)
     else:
         raise SystemExit(f"unknown kind {kind}")
