@@ -59,13 +59,18 @@ def parse_args():
     return parser.parse_args()
 
 
-def _maybe_asr(paths: List[Path]) -> Optional[List[str]]:
+def _maybe_asr(
+    paths: List[Path], size: str = "medium", root: Optional[str] = None
+) -> Optional[List[str]]:
+    """Transcribe the dumped clips if a whisper package is importable
+    (reference analysis/dump_alignments.py:141-163). Covered end-to-end in
+    tests/test_analysis.py via an injected stub whisper module."""
     try:
         import whisper  # noqa: F401  (not shipped in this image; optional)
     except ImportError:
         logger.warning("no whisper implementation importable; skipping ASR")
         return None
-    model = whisper.load_model("medium")
+    model = whisper.load_model(size, download_root=root)
     return [model.transcribe(str(p))["text"] for p in paths]
 
 
@@ -108,6 +113,8 @@ def dump(
     max_rows: Optional[int],
     rows_per_page: int,
     with_asr: bool,
+    whisper_size: str = "medium",
+    whisper_root: Optional[str] = None,
 ) -> None:
     try:
         scored = read_alignments_with_score(align_path)
@@ -147,8 +154,12 @@ def dump(
         )
 
     if with_asr:
-        src_texts = _maybe_asr([wav_dir / f"{i}.src.ogg" for i in range(n)])
-        tgt_texts = _maybe_asr([wav_dir / f"{i}.tgt.ogg" for i in range(n)])
+        src_texts = _maybe_asr(
+            [wav_dir / f"{i}.src.ogg" for i in range(n)], whisper_size, whisper_root
+        )
+        tgt_texts = _maybe_asr(
+            [wav_dir / f"{i}.tgt.ogg" for i in range(n)], whisper_size, whisper_root
+        )
         if src_texts and tgt_texts:
             for r, s, t in zip(rows, src_texts, tgt_texts):
                 r["src_text"] = s
@@ -180,6 +191,8 @@ def main():
             args.max_rows,
             args.rows_per_page,
             args.with_asr,
+            args.whisper_size,
+            args.whisper_root,
         )
         logger.info("Finished!")
         return
@@ -211,6 +224,8 @@ def main():
             args.max_rows,
             args.rows_per_page,
             args.with_asr,
+            args.whisper_size,
+            args.whisper_root,
         )
     logger.info("Finished!")
 

@@ -225,9 +225,11 @@ def sharded_search(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(None, None), P(axis, None), P(axis)),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,  # all_gather output is replicated; the static
+        # rep-checker can't see that through top_k/take_along_axis
     )
-    def local_topk(q, c_shard, v_shard):
+    def search_and_merge(q, c_shard, v_shard):
         c_shard = c_shard.astype(jnp.float32)  # exact upcast of fp16 shards
         sims = jnp.dot(
             q, c_shard.T, preferred_element_type=jnp.float32,
@@ -240,18 +242,19 @@ def sharded_search(
         neg_d, idx = jax.lax.top_k(-d2, kk)
         # global ids: offset by this shard's position
         offset = jax.lax.axis_index(axis) * per_shard
-        return -neg_d + 0.0, idx + offset
+        idx = idx + offset
 
-    d_all, i_all = local_topk(queries, corpus_j, valid_j)  # (n_dev*nq, kk) stacked? -> out specs P(axis)
-    # out_specs P(axis) stacks shard outputs along axis 0: (n_dev * nq, kk)
-    nq = queries.shape[0]
-    d_all = np.asarray(d_all).reshape(n_dev, nq, kk).transpose(1, 0, 2).reshape(nq, n_dev * kk)
-    i_all = np.asarray(i_all).reshape(n_dev, nq, kk).transpose(1, 0, 2).reshape(nq, n_dev * kk)
+        # final merge ON DEVICE: gather the per-shard candidate lists over
+        # ICI (shard-major along the candidate axis, matching the host
+        # merge's stable tie order) and re-reduce with one top_k — no
+        # stacked-layout host reshuffle, and only (nq, k) crosses D2H
+        d_all = jax.lax.all_gather(-neg_d, axis, axis=1, tiled=True)  # (nq, n_dev*kk)
+        i_all = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        neg_best, pos = jax.lax.top_k(-d_all, min(k, n_dev * kk))
+        return -neg_best, jnp.take_along_axis(i_all, pos, axis=1)
 
-    # final merge on host (tiny): global top-k over the n_dev*kk candidates
-    order = np.argsort(d_all, axis=1, kind="stable")[:, :k]
-    rows = np.arange(nq)[:, None]
-    return d_all[rows, order], i_all[rows, order]
+    d_best, i_best = search_and_merge(queries, corpus_j, valid_j)
+    return np.asarray(d_best), np.asarray(i_best)
 
 
 class ShardedFlatIndex:

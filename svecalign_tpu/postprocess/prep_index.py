@@ -50,6 +50,10 @@ def parse_args():
                         help="whether the input embeddings are .npy (stopes flavor).")
     parser.add_argument("--src_lang", type=str, required=True)
     parser.add_argument("--tgt_lang", type=str, required=True)
+    parser.add_argument("--index_type", type=str, default=None,
+                        help="override the size-based index type selection "
+                             "(Flat or IVF{nlist}); default picks by corpus "
+                             "size like stopes determine_faiss_index_type.")
     return parser.parse_args()
 
 
@@ -152,7 +156,7 @@ def main():
             n_embed_tot += sum(1 for _ in fp)
     logger.info(f"#embeddings: {n_embed_tot}")
 
-    index_type = determine_index_type(n_embed_tot)
+    index_type = args.index_type or determine_index_type(n_embed_tot)
     logger.info(f"Training index type {index_type}...")
 
     train_vecs = normalize_l2(

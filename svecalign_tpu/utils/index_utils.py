@@ -1,10 +1,14 @@
 """Index file IO and type selection.
 
 Flat indexes are stored in the faiss ``IndexFlatL2`` binary format
-(fourcc ``IxF2``) for byte-level interop: our stages can load indexes
-written by the reference's faiss pipeline and vice versa. IVF indexes use a
-simple native .npz container. (Replaces stopes train_index / load_index —
-reference svecalign/utils/mining_utils.py:14-42, score_align.py:192-217.)
+(fourcc ``IxF2``) and IVF indexes in the faiss ``IndexIVFFlat`` format
+(fourcc ``IwFl``: ivf header + nested IxF2 quantizer + direct map +
+``ilar`` ArrayInvertedLists) for byte-level interop: our stages can load
+indexes written by the reference's faiss pipeline and vice versa at both
+the Flat and the mining-scale IVF tiers. (Replaces stopes train_index /
+load_index — reference svecalign/utils/mining_utils.py:14-42,
+score_align.py:192-217, prep_index.py:188-258.) A legacy native .npz IVF
+container from round 1 is still readable.
 """
 
 import struct
@@ -70,18 +74,143 @@ def read_flat_index(path: Union[str, Path]) -> np.ndarray:
     return data.reshape(ntotal, d)
 
 
+def _write_index_header(fp, d: int, ntotal: int, metric: int = 1) -> None:
+    fp.write(struct.pack("<i", d))
+    fp.write(struct.pack("<q", ntotal))
+    fp.write(struct.pack("<qq", 1 << 20, 1 << 20))  # legacy fields
+    fp.write(struct.pack("<B", 1))  # is_trained
+    fp.write(struct.pack("<i", metric))  # 1 = METRIC_L2
+
+
 def write_ivf_index(index: IVFIndex, path: Union[str, Path]) -> None:
-    # write through a file object so np.savez cannot append ".npz" and
-    # break the `${type}.populate.idx` filename contract
+    """Write a faiss-compatible IndexIVFFlat (``IwFl``) file.
+
+    Layout per faiss impl/index_write.cpp (1.7.x): fourcc, index header,
+    nlist/nprobe (uint64), nested IndexFlatL2 quantizer holding the
+    centroids, direct map (NoMap), then ArrayInvertedLists (``ilar``):
+    nlist, code_size, 'full' size table, and per non-empty list the raw
+    fp32 codes followed by the int64 ids. Our ids are insertion order
+    (faiss sequential ``add``).
+    """
+    cent = np.ascontiguousarray(index.centroids, dtype=np.float32)
+    nlist, d = cent.shape
+    vecs = np.ascontiguousarray(index._vectors, dtype=np.float32)
+    assign = np.asarray(index._assignments, dtype=np.int64)
+    n = vecs.shape[0]
     with open(path, "wb") as fp:
-        np.savez(
-            fp,
-            magic=_IVF_MAGIC,
-            centroids=index.centroids,
-            vectors=index._vectors,
-            assignments=index._assignments,
-            nprobe=index.nprobe,
-        )
+        fp.write(b"IwFl")
+        _write_index_header(fp, d, n)
+        fp.write(struct.pack("<QQ", nlist, index.nprobe))
+        # quantizer: IndexFlatL2 over the centroids
+        fp.write(_FLAT_MAGIC)
+        _write_index_header(fp, d, nlist)
+        fp.write(struct.pack("<Q", nlist * d))
+        fp.write(cent.tobytes())
+        # direct map: type NoMap, empty id array
+        fp.write(struct.pack("<B", 0))
+        fp.write(struct.pack("<Q", 0))
+        # inverted lists
+        fp.write(b"ilar")
+        fp.write(struct.pack("<QQ", nlist, d * 4))
+        order = np.argsort(assign, kind="stable")
+        sizes = np.bincount(assign, minlength=nlist).astype(np.uint64)
+        fp.write(b"full")
+        fp.write(struct.pack("<Q", nlist))
+        fp.write(sizes.tobytes())
+        vecs_sorted = vecs[order]
+        ids_sorted = order.astype(np.int64)
+        off = 0
+        for i in range(nlist):
+            c = int(sizes[i])
+            if c:
+                fp.write(vecs_sorted[off : off + c].tobytes())
+                fp.write(ids_sorted[off : off + c].tobytes())
+                off += c
+
+
+def read_ivf_index(path: Union[str, Path], nprobe: int = 128) -> IVFIndex:
+    """Read a faiss IndexIVFFlat (``IwFl``) file, including ones written
+    by faiss itself (both 'full' and 'sprs' inverted-list size tables)."""
+    with open(path, "rb") as fp:
+        buf = fp.read()
+    off = 0
+
+    def take(n):
+        nonlocal off
+        out = buf[off : off + n]
+        off += n
+        return out
+
+    def u(fmt):
+        size = struct.calcsize(fmt)
+        return struct.unpack("<" + fmt, take(size))
+
+    assert take(4) == b"IwFl", f"{path}: not an IndexIVFFlat (IwFl) file"
+    d, = u("i")
+    ntotal, = u("q")
+    take(16)  # legacy
+    take(1)  # is_trained
+    metric, = u("i")
+    assert metric == 1, f"only METRIC_L2 supported, got {metric}"
+    nlist, file_nprobe = u("QQ")
+
+    # nested quantizer (IndexFlatL2)
+    assert take(4) == _FLAT_MAGIC, "quantizer is not IndexFlatL2"
+    qd, = u("i")
+    qn, = u("q")
+    take(16)
+    take(1)
+    u("i")
+    nfloats, = u("Q")
+    assert qd == d and qn == nlist and nfloats == nlist * d
+    centroids = np.frombuffer(take(nlist * d * 4), dtype=np.float32).reshape(
+        nlist, d
+    ).copy()
+
+    # direct map
+    dm_type, = u("B")
+    dm_count, = u("Q")
+    take(dm_count * 8)
+    if dm_type == 2:  # Hashtable map: count + (key, value) pairs
+        n_hash, = u("Q")
+        take(n_hash * 16)
+
+    # inverted lists
+    assert take(4) == b"ilar", "only ArrayInvertedLists supported"
+    il_nlist, code_size = u("QQ")
+    assert il_nlist == nlist and code_size == d * 4, (il_nlist, code_size)
+    list_type = take(4)
+    count, = u("Q")
+    table = np.frombuffer(take(count * 8), dtype=np.uint64)
+    sizes = np.zeros(nlist, dtype=np.int64)
+    if list_type == b"full":
+        sizes[:] = table.astype(np.int64)
+    elif list_type == b"sprs":
+        sizes[table[0::2].astype(np.int64)] = table[1::2].astype(np.int64)
+    else:
+        raise ValueError(f"unknown inverted-list size table {list_type!r}")
+
+    vectors = np.zeros((ntotal, d), dtype=np.float32)
+    assignments = np.zeros(ntotal, dtype=np.int64)
+    seen = np.zeros(ntotal, dtype=bool)
+    for i in range(nlist):
+        c = int(sizes[i])
+        if not c:
+            continue
+        codes = np.frombuffer(take(c * d * 4), dtype=np.float32).reshape(c, d)
+        ids = np.frombuffer(take(c * 8), dtype=np.int64)
+        if np.any(ids < 0) or np.any(ids >= ntotal):
+            raise ValueError(f"{path}: non-sequential faiss ids unsupported")
+        vectors[ids] = codes
+        assignments[ids] = i
+        seen[ids] = True
+    assert seen.all() or ntotal == 0, "duplicate/missing ids in inverted lists"
+
+    idx = IVFIndex(dim=d, nlist=int(nlist), nprobe=nprobe or int(file_nprobe))
+    idx.centroids = centroids
+    idx._vectors = vectors
+    idx._assignments = assignments
+    return idx
 
 
 def load_index(
@@ -97,7 +226,9 @@ def load_index(
         if vectors.shape[0]:
             idx.add(vectors)
         return idx
-    # npz container (IVF)
+    if head == b"IwFl":
+        return read_ivf_index(path, nprobe=nprobe)
+    # legacy round-1 npz container (IVF)
     data = np.load(path, allow_pickle=False)
     assert str(data["magic"]) == _IVF_MAGIC, path
     idx = IVFIndex(

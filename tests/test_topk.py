@@ -212,6 +212,98 @@ def test_ivf_format_roundtrip(tmp_path):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_ivf_faiss_container_structure(tmp_path):
+    """The IVF file must be a faiss IndexIVFFlat (IwFl) container:
+    fourcc, header fields, nested IxF2 quantizer, NoMap direct map,
+    'ilar' ArrayInvertedLists — parsed here with raw struct reads
+    independent of the reader implementation."""
+    import struct
+
+    rng = np.random.default_rng(7)
+    corpus = _random_corpus(rng, 120)
+    ivf = IVFIndex(dim=64, nlist=4, nprobe=4)
+    ivf.train(corpus)
+    ivf.add(corpus)
+    path = tmp_path / "IVF4.populate.idx"
+    write_ivf_index(ivf, path)
+
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"IwFl"
+    d, = struct.unpack_from("<i", buf, 4)
+    ntotal, = struct.unpack_from("<q", buf, 8)
+    assert (d, ntotal) == (64, 120)
+    # is_trained byte + metric after the two legacy int64s
+    assert buf[32] == 1
+    assert struct.unpack_from("<i", buf, 33)[0] == 1  # METRIC_L2
+    nlist, nprobe = struct.unpack_from("<QQ", buf, 37)
+    assert (nlist, nprobe) == (4, 4)
+    assert buf[53:57] == b"IxF2"  # nested quantizer
+    qoff = 57
+    qd, = struct.unpack_from("<i", buf, qoff)
+    qn, = struct.unpack_from("<q", buf, qoff + 4)
+    assert (qd, qn) == (64, 4)
+    cent_count, = struct.unpack_from("<Q", buf, qoff + 33)
+    assert cent_count == 4 * 64
+    cents = np.frombuffer(buf, np.float32, 4 * 64, qoff + 41).reshape(4, 64)
+    np.testing.assert_array_equal(cents, ivf.centroids)
+    il_off = qoff + 41 + 4 * 64 * 4 + 1 + 8  # + direct map (NoMap, empty)
+    assert buf[il_off : il_off + 4] == b"ilar"
+    il_nlist, code_size = struct.unpack_from("<QQ", buf, il_off + 4)
+    assert (il_nlist, code_size) == (4, 256)
+    assert buf[il_off + 20 : il_off + 24] == b"full"
+    n_sizes, = struct.unpack_from("<Q", buf, il_off + 24)
+    sizes = np.frombuffer(buf, np.uint64, 4, il_off + 32)
+    assert n_sizes == 4 and sizes.sum() == 120
+
+
+def test_ivf_reads_sprs_size_table(tmp_path):
+    """faiss writes a sparse (index, size) table when most lists are
+    empty; the reader must handle it."""
+    import struct
+
+    rng = np.random.default_rng(8)
+    corpus = _random_corpus(rng, 50)
+    ivf = IVFIndex(dim=64, nlist=16, nprobe=16)
+    ivf.train(corpus[:20])
+    ivf.add(corpus)
+    full_path = tmp_path / "full.idx"
+    write_ivf_index(ivf, full_path)
+
+    # rewrite the size table in sprs form
+    buf = bytearray(open(full_path, "rb").read())
+    il = buf.index(b"ilar")
+    sizes_off = il + 24
+    nlist = 16
+    sizes = np.frombuffer(bytes(buf), np.uint64, nlist, sizes_off + 8)
+    pairs = [(i, int(s)) for i, s in enumerate(sizes) if s > 0]
+    sprs = np.array([v for p in pairs for v in p], dtype=np.uint64)
+    new_table = (
+        b"sprs" + struct.pack("<Q", len(sprs)) + sprs.tobytes()
+    )
+    old_table_len = 4 + 8 + nlist * 8
+    buf[il + 20 : il + 20 + old_table_len] = new_table
+    sprs_path = tmp_path / "sprs.idx"
+    open(sprs_path, "wb").write(bytes(buf))
+
+    back = load_index(sprs_path)
+    d1, i1 = ivf.search(corpus[:5], 3)
+    d2, i2 = back.search(corpus[:5], 3)
+    np.testing.assert_allclose(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_ivf_trained_only_roundtrip(tmp_path):
+    """The `${type}.train.idx` file is a trained-but-empty IVF index."""
+    rng = np.random.default_rng(9)
+    ivf = IVFIndex(dim=64, nlist=8, nprobe=8)
+    ivf.train(_random_corpus(rng, 100))
+    path = tmp_path / "IVF8.train.idx"
+    write_ivf_index(ivf, path)
+    back = load_index(path)
+    assert back.ntotal == 0
+    np.testing.assert_array_equal(back.centroids, ivf.centroids)
+
+
 def test_determine_index_type():
     assert determine_index_type(347) == "Flat"
     assert determine_index_type(1_000_000) == "Flat"
