@@ -4,19 +4,28 @@ The banded DP (ops/dp.py ``banded_dp``) is a strict sequential recurrence
 over anti-diagonals; the XLA ``lax.scan`` version pays per-step overhead for
 HBM round trips of the cost rows and carries. This kernel keeps the entire
 state in VMEM: the cost band streams in as one VMEM block, the cumulative
-band lives in a K-row ring buffer of 128-lane registers-worth rows, and each
-step is a handful of VPU ops (dynamic lane roll + add + min) per alignment
-type.
+band lives in a K-row ring buffer, and each step is a handful of VPU ops
+(dynamic lane roll + add + min) per alignment type.
 
 Key layout trick: ring rows store the B band values in lanes [0, B) with
 +inf elsewhere, so the per-type predecessor shift (a uniform lane offset per
 row/type, see ops/dp.py docstring) is a single ``pltpu.roll`` — the
-wraparound lands in the +inf pad and needs no masking, provided
-B + max_shift <= 128.
+wraparound lands in the +inf pad and needs no masking. Wide bands tile the
+lane axis: a ring row is ``ceil((B + K) / 128) * 128`` lanes, so any band
+width is supported (the roll spans the whole multiple-of-128 row).
+
+Pair batching happens INSIDE the kernel: the grid is (pairs, chunks) with
+chunks minor, so each pair's anti-diagonals run sequentially and the ring
+scratch carries across its chunk boundaries. No ring reset is needed when
+the pair index advances: a cell at anti-diagonal ``aa`` only reads ring rows
+``aa - span >= 0``, all of which the SAME pair wrote earlier (reads with
+``aa < span`` are gated by ``prev_ok``). This amortizes the per-call
+dispatch over the whole bucket — the XLA-level ``vmap`` alternative pays
+the scan-step overhead multiplied by the batch.
 
 Semantics are identical to ``banded_dp`` (same outputs, same first-minimum
 tie-breaking); ``tests/test_dp_pallas.py`` checks equality against both the
-XLA scan and the numpy oracle.
+XLA scan and the numpy oracle, including wide-band and batched cases.
 """
 
 from functools import partial
@@ -32,35 +41,45 @@ from svecalign_tpu.ops.dp import NEG_BP, extend_band_offsets
 
 LANES = 128
 
-
 VMEM_BUDGET = 13 * 1024 * 1024
 
+MAX_BAND_LANES = 4096  # wide-band safety cap (VMEM: ring + cost block)
 
-def _chunk_rows(n_types: int) -> int:
+
+def _lanes_tot(B: int, K: int) -> int:
+    """Lane-row width: the band plus the largest predecessor shift, rounded
+    up to whole 128-lane tiles so ``pltpu.roll`` wraparound lands in the
+    +inf pad."""
+    return -(-(B + K) // LANES) * LANES
+
+
+def _chunk_rows(n_types: int, lanes_tot: int) -> int:
     """Anti-diagonals per grid step: sized so the double-buffered
-    (T, CHUNK, LANES) cost block + 3 output blocks fit the VMEM budget."""
-    per_row = 2 * (n_types + 3) * LANES * 4
-    chunk = VMEM_BUDGET // per_row
-    return int(max(64, min(512, chunk)))
+    (T, CHUNK, lanes_tot) cost block + 3 output blocks fit the VMEM
+    budget."""
+    per_row = 2 * (n_types + 3) * lanes_tot * 4
+    chunk = (VMEM_BUDGET // per_row) // 8 * 8  # sublane-aligned
+    return int(max(8, min(512, chunk)))
 
 
 def _supported(B: int, K: int, a2: int, n_types: int) -> bool:
-    # the ring-roll trick needs the shifted window to stay inside the pad
-    return B + K <= LANES
+    return _lanes_tot(B, K) <= MAX_BAND_LANES
 
 
 @partial(jax.jit, static_argnames=("x_offsets", "y_offsets"))
-def banded_dp_pallas(
-    costs: jax.Array,  # (T, A, B) float32
-    b_offset_in: jax.Array,  # (A,) int32
-    b_offset_out: jax.Array,  # (A+2,) int32
+def banded_dp_pallas_batched(
+    costs: jax.Array,  # (P, T, A, B) float32
+    b_offset_in: jax.Array,  # (P, A) int32
+    b_offset_out: jax.Array,  # (P, A+2) int32
     x_offsets: Tuple[int, ...],
     y_offsets: Tuple[int, ...],
-    del_penalty: jax.Array,
-    x_in_size: jax.Array,
-    y_in_size: jax.Array,
+    del_penalty: jax.Array,  # (P,) float32
+    x_in_size: jax.Array,  # (P,) int32
+    y_in_size: jax.Array,  # (P,) int32
 ):
-    T, A, B = costs.shape
+    """P-pair banded DP in one kernel launch. Returns
+    (csum (P, A+2, B), xp (P, A+2, B), yp (P, A+2, B))."""
+    P, T, A, B = costs.shape
     a2 = A + 2
     inf = float("inf")  # python constant: not captured as a traced value
 
@@ -71,42 +90,46 @@ def banded_dp_pallas(
     n_types = len(xo)
 
     assert _supported(B, K, a2, T), (B, K, a2, T)
+    W = _lanes_tot(B, K)
 
-    CHUNK = _chunk_rows(T)
+    CHUNK = _chunk_rows(T, W)
     n_chunks = -(-a2 // CHUNK)
     rows_pad = n_chunks * CHUNK
 
     # pre-pad: lane-align the costs and add the two front buffer rows so
     # cost row aa corresponds to input anti-diagonal aa - 2
-    costs_pad = jnp.full((T, rows_pad, LANES), inf)
-    costs_pad = costs_pad.at[:, 2 : a2, :B].set(costs)
+    costs_pad = jnp.full((P, T, rows_pad, W), inf)
+    costs_pad = costs_pad.at[:, :, 2:a2, :B].set(costs)
 
     scal = jnp.stack(
-        [x_in_size.astype(jnp.int32), y_in_size.astype(jnp.int32)]
-    )
-    # b_offset padded so any global row index is readable
-    boff_pad = jnp.pad(b_offset_out.astype(jnp.int32), (0, rows_pad - a2))
+        [x_in_size.astype(jnp.int32), y_in_size.astype(jnp.int32)], axis=1
+    )  # (P, 2)
+    boff_pad = jnp.pad(
+        b_offset_out.astype(jnp.int32), ((0, 0), (0, rows_pad - a2))
+    )  # (P, rows_pad)
+    pens = del_penalty.astype(jnp.float32)  # (P,)
 
     def kernel(boff_ref, scal_ref, pen_ref, costs_ref, csum_ref, xp_ref, yp_ref, ring):
-        x_in = scal_ref[0]
-        y_in = scal_ref[1]
+        p = pl.program_id(0)
+        chunk_id = pl.program_id(1)
+        x_in = scal_ref[p, 0]
+        y_in = scal_ref[p, 1]
         x_out = x_in + 1
         y_out = y_in + 1
-        pen = pen_ref[0]
-        chunk_id = pl.program_id(0)
+        pen = pen_ref[p]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         in_band = lane < B
 
         def step(row, _):
             aa = chunk_id * CHUNK + row  # global anti-diagonal
-            boff_a = boff_ref[aa]
-            yy = boff_a + lane  # (1, LANES)
+            boff_a = boff_ref[p, aa]
+            yy = boff_a + lane  # (1, W)
             xx = aa - yy
 
-            best = jnp.full((1, LANES), inf)
-            bxp = jnp.full((1, LANES), NEG_BP, jnp.int32)
-            byp = jnp.full((1, LANES), NEG_BP, jnp.int32)
+            best = jnp.full((1, W), inf)
+            bxp = jnp.full((1, W), NEG_BP, jnp.int32)
+            byp = jnp.full((1, W), NEG_BP, jnp.int32)
 
             for t in range(n_types):
                 xo_t = int(xo[t])
@@ -116,14 +139,14 @@ def banded_dp_pallas(
                 prev_slot = jax.lax.rem(
                     jnp.maximum(aa - s_t, 0), jnp.int32(K)
                 )
-                boff_prev = boff_ref[jnp.maximum(aa - s_t, 0)]
+                boff_prev = boff_ref[p, jnp.maximum(aa - s_t, 0)]
                 shift = boff_a - yo_t - boff_prev
 
-                prev_row = ring[pl.ds(prev_slot, 1), :]  # (1, LANES)
+                prev_row = ring[pl.ds(prev_slot, 1), :]  # (1, W)
                 prev_vals = pltpu.roll(prev_row, -shift, axis=1)
 
                 if xo_t == 0 or yo_t == 0:
-                    cost_t = jnp.full((1, LANES), pen)
+                    cost_t = jnp.full((1, W), pen)
                 else:
                     cost_t = costs_ref[t, pl.ds(row, 1), :]  # chunk-local row
 
@@ -178,38 +201,69 @@ def banded_dp_pallas(
         jax.lax.fori_loop(0, n_rows, step, ())
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # b_offset_out, sizes, penalty
-        grid=(n_chunks,),
+        num_scalar_prefetch=3,  # b_offset_out, sizes, penalties
+        grid=(P, n_chunks),  # chunks minor: sequential per pair
         in_specs=[
             pl.BlockSpec(
-                (T, CHUNK, LANES),
-                lambda i, *_: (0, i, 0),
+                (1, T, CHUNK, W),
+                lambda p, i, *_: (p, 0, i, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=(
-            pl.BlockSpec((CHUNK, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, W), lambda p, i, *_: (p, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, W), lambda p, i, *_: (p, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, W), lambda p, i, *_: (p, i, 0), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((K, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((K, W), jnp.float32)],
     )
 
+    def kernel4(boff_ref, scal_ref, pen_ref, costs_ref, csum_ref, xp_ref, yp_ref, ring):
+        # adapt refs: costs block is (1, T, CHUNK, W), outputs (1, CHUNK, W)
+        kernel(
+            boff_ref, scal_ref, pen_ref,
+            costs_ref.at[0], csum_ref.at[0], xp_ref.at[0], yp_ref.at[0], ring,
+        )
+
     csum, xp, yp = pl.pallas_call(
-        kernel,
+        kernel4,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((rows_pad, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((P, rows_pad, W), jnp.float32),
+            jax.ShapeDtypeStruct((P, rows_pad, W), jnp.int32),
+            jax.ShapeDtypeStruct((P, rows_pad, W), jnp.int32),
         ),
     )(
         boff_pad,
         scal,
-        del_penalty.astype(jnp.float32)[None],
+        pens,
         costs_pad,
     )
-    return csum[:a2, :B], xp[:a2, :B], yp[:a2, :B]
+    return csum[:, :a2, :B], xp[:, :a2, :B], yp[:, :a2, :B]
+
+
+@partial(jax.jit, static_argnames=("x_offsets", "y_offsets"))
+def banded_dp_pallas(
+    costs: jax.Array,  # (T, A, B) float32
+    b_offset_in: jax.Array,  # (A,) int32
+    b_offset_out: jax.Array,  # (A+2,) int32
+    x_offsets: Tuple[int, ...],
+    y_offsets: Tuple[int, ...],
+    del_penalty: jax.Array,
+    x_in_size: jax.Array,
+    y_in_size: jax.Array,
+):
+    csum, xp, yp = banded_dp_pallas_batched(
+        costs[None],
+        b_offset_in[None],
+        b_offset_out[None],
+        x_offsets,
+        y_offsets,
+        del_penalty.reshape(1),
+        x_in_size.reshape(1),
+        y_in_size.reshape(1),
+    )
+    return csum[0], xp[0], yp[0]
 
 
 def run_banded_dp_pallas(

@@ -71,8 +71,9 @@ def parse_args():
     parser.add_argument("--dp_backend", type=str, default="auto",
                         choices=["auto", "pallas", "xla", "native"],
                         help="banded-DP kernel: Pallas VMEM wavefront (TPU), XLA "
-                             "scan, or the C++ float64 host kernel. Only applies "
-                             "to --pair_batch 1; the batched path is always XLA.")
+                             "scan, or the C++ float64 host kernel (native only "
+                             "applies to --pair_batch 1; the batched path picks "
+                             "the in-kernel pair-batched Pallas on TPU).")
     return parser.parse_args()
 
 
@@ -186,11 +187,10 @@ def main():
 
     with profile_ctx:
         if args.pair_batch > 1:
-            if args.dp_backend != "auto":
+            if args.dp_backend == "native":
                 logger.warning(
-                    "--dp_backend %s is ignored with --pair_batch > 1: the "
-                    "batched pyramid always uses the XLA banded DP.",
-                    args.dp_backend,
+                    "--dp_backend native is ignored with --pair_batch > 1: "
+                    "the batched pyramid runs on device (pallas/xla)."
                 )
             _run_pairs_batched(args, valid_pairs)
         else:
@@ -248,6 +248,7 @@ def _run_pairs_batched(args, valid_pairs):
         costs_sample_size=args.costs_sample_size,
         num_samps_for_norm=args.num_samps_for_norm,
         seed=args.seed,
+        dp_backend=args.dp_backend if args.dp_backend != "native" else "auto",
     )
 
     # bucket by size so padding stays modest; double-buffer: bucket i+1's

@@ -174,6 +174,34 @@ def _batched_banded_dp(costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs,
     return jax.vmap(fn)(costs, boff_in, boff_out, pens, xs, ys)
 
 
+def _run_batched_banded_dp(
+    costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs, ys,
+    dp_backend: str = "auto",
+):
+    """Pick the banded-DP kernel for a bucket: the in-kernel pair-batched
+    Pallas wavefront on TPU (one launch for the whole bucket, VMEM-resident
+    state — no per-scan-step overhead x P), else the vmapped XLA scan.
+    Outputs are identical (tests/test_dp_pallas.py::test_pallas_batched_*).
+    """
+    if dp_backend in ("auto", "pallas"):
+        platform = jax.default_backend()
+        from svecalign_tpu.ops.dp_pallas import pallas_supported
+
+        types = list(zip(x_offsets, y_offsets))
+        if (
+            (platform in ("tpu", "axon") or dp_backend == "pallas")
+            and pallas_supported(costs.shape[1:], types)
+        ):
+            from svecalign_tpu.ops.dp_pallas import banded_dp_pallas_batched
+
+            return banded_dp_pallas_batched(
+                costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs, ys
+            )
+    return _batched_banded_dp(
+        costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs, ys
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -302,6 +330,7 @@ def vecalign_batched(
     num_samps_for_norm: int,
     seed: int = 42,
     sampling: str = "shared",
+    dp_backend: str = "auto",
 ) -> List[Tuple[List[Alignment], np.ndarray]]:
     """Align a bucket of document pairs in one batched pyramid.
 
@@ -342,6 +371,7 @@ def vecalign_batched(
         num_samps_for_norm=num_samps_for_norm,
         seed=seed,
         sampling=sampling,
+        dp_backend=dp_backend,
     )
 
 
@@ -358,6 +388,7 @@ def _vecalign_batched_core(
     num_samps_for_norm: int,
     seed: int = 42,
     sampling: str = "shared",
+    dp_backend: str = "auto",
 ) -> List[Tuple[List[Alignment], np.ndarray]]:
     """Shared pyramid over device-resident normalized (P, o, n, d) tensors."""
     if width_over2 < 3:
@@ -535,7 +566,7 @@ def _vecalign_batched_core(
             # windowed matmul tiles (and thus float rounding) line up
             chunk=512 if paired else _banded_chunk_for_batch(P),
         )
-        csum, xp, yp = _batched_banded_dp(
+        csum, xp, yp = _run_batched_banded_dp(
             band_costs,
             jnp.asarray(boff_in),
             jnp.asarray(boff_out),
@@ -544,6 +575,7 @@ def _vecalign_batched_core(
             jnp.asarray(e["del_penalty"]),
             jnp.asarray(e["h_sizes0"]),
             jnp.asarray(e["h_sizes1"]),
+            dp_backend=dp_backend,
         )
         # ONE pull for the whole bucket
         csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))
