@@ -189,10 +189,114 @@ def run_batched(v0, v1, batch: int = 32, n_iters: int = 4) -> float:
     return min(times) / batch
 
 
+_PEAK_BF16 = {
+    # per-chip dense bf16 peak (TFLOP/s); device_kind substrings
+    "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+    "v4": 275e12, "v5p": 459e12, "v6e": 918e12, "v6 lite": 918e12,
+}
+
+
+def _peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in _PEAK_BF16.items():
+        if key in kind:
+            return val
+    return 197e12  # assume v5e-class
+
+
+def run_encoder(n_iters: int = 10):
+    """Warm on-device encoder forward: tokens/s and flops-derived MFU%.
+
+    Uses the production wav2vec2-large (SpeechLASER) architecture with
+    random weights, one 20 s bucket at the max_tokens row count — the
+    mining embed stage's steady-state shape. Inputs are staged to the
+    device ONCE so this measures device time, not the tunnel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from svecalign_tpu.models.laser_encoder import SpeechLaserModel
+
+    model = SpeechLaserModel(max_tokens=150 * 16000)
+    bucket = 20 * 16000
+    rows = model._rows_for_bucket(bucket)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal((rows, bucket)) * 8000).astype(np.int16)
+    wav_d = jax.device_put(jnp.asarray(wav))
+    scales = jax.device_put(jnp.full((rows,), 1.0 / 32767.0, jnp.float32))
+    lengths = jax.device_put(jnp.full((rows,), bucket, jnp.int32))
+
+    out = model._forward(model.params, wav_d, scales, lengths)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = model._forward(model.params, wav_d, scales, lengths)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    # analytic forward FLOPs from the architecture
+    cfg = model.config
+    d = cfg.encoder_dim
+    ffn = cfg.encoder_ffn_dim
+    # conv feature extractor
+    conv_flops = 0
+    t_len = bucket
+    c_in = 1
+    for c_out, k, s in cfg.conv_layers:
+        t_len = (t_len - k) // s + 1
+        conv_flops += 2 * t_len * k * c_in * c_out
+        c_in = c_out
+    frames = t_len
+    # transformer: qkvo (8 d^2) + ffn (4 d ffn) per token, + attention
+    # score/value matmuls (4 T d per token), x layers
+    per_token = cfg.encoder_layers * (8 * d * d + 4 * d * ffn + 4 * frames * d)
+    flops = rows * (conv_flops + frames * per_token)
+
+    tokens_per_sec = rows * frames / dt
+    mfu = flops / dt / _peak_flops()
+    audio_rtf = rows * 20.0 / dt  # seconds of audio per wall second
+    return tokens_per_sec, mfu, audio_rtf
+
+
+def run_knn(n_iters: int = 5):
+    """Exact kNN q/s over a device-resident corpus (the score_align hot
+    op): 256k x 1024 fp16 corpus, 4096-query batches, k=16."""
+    import jax
+
+    from svecalign_tpu.ops.topk import FlatIndex
+
+    rng = np.random.default_rng(1)
+    n, d, nq, k = 262_144, 1024, 4096, 16
+    corpus = rng.standard_normal((n, d)).astype(np.float16).astype(np.float32)
+    queries = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = FlatIndex(dim=d)
+    idx.add(corpus)
+    idx.search(queries, k)  # compile + corpus upload + cache
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        idx.search(queries, k)
+    dt = (time.perf_counter() - t0) / n_iters
+    qps = nq / dt
+    tflops = qps * 2 * n * d / 1e12
+    return qps, tflops
+
+
 def main():
     stack, ours, (v0, v1) = run_align()
+    from svecalign_tpu.vecalign import batch as batch_mod
+
+    batch_mod.upload_stats["bytes"] = 0
     batched = run_batched(v0, v1)
+    # 4 iters x 4 buckets x 32 pairs staged in run_batched (+1 warmup)
+    staged_pairs = batch_mod.upload_stats["buckets"] * 32
+    bytes_per_pair = (
+        batch_mod.upload_stats["bytes"] / staged_pairs if staged_pairs else 0
+    )
     baseline = run_oracle_baseline(stack, v0, v1)
+    enc_tokens, enc_mfu, enc_rtf = run_encoder()
+    knn_qps, knn_tflops = run_knn()
 
     # DP cells/sec: total banded cells (types x A x B) + dense cells, per second
     cells = 0
@@ -213,6 +317,12 @@ def main():
         "single_pair_seconds": round(ours, 4),
         "baseline_numpy_seconds_per_pair": round(baseline, 4),
         "dp_cells_per_sec": round(cells / batched, 1),
+        "upload_bytes_per_pair": int(bytes_per_pair),
+        "encoder_tokens_per_sec": round(enc_tokens, 1),
+        "encoder_mfu_pct": round(100 * enc_mfu, 2),
+        "encoder_audio_rtf": round(enc_rtf, 1),
+        "knn_queries_per_sec": round(knn_qps, 1),
+        "knn_tflops": round(knn_tflops, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

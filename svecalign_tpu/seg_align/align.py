@@ -64,10 +64,12 @@ def parse_args():
                         help="align this many document pairs per device program "
                              "(batched pyramid; amortizes host<->device latency).")
     parser.add_argument("--upload_quant", type=str, default="fp16",
-                        choices=["fp16", "int8"],
+                        choices=["fp16", "int8", "int4"],
                         help="embedding upload precision for the batched path: "
                              "int8 halves host->device bytes (per-row scales; "
-                             "~0.3%% cosine noise, negligible vs alignment margins).")
+                             "~0.3%% cosine noise), int4 packs two codes per "
+                             "byte (quarter of fp16; ~2%% cosine noise, "
+                             "committed-example quality gate in tests).")
     parser.add_argument("--dp_backend", type=str, default="auto",
                         choices=["auto", "pallas", "xla", "native"],
                         help="banded-DP kernel: Pallas VMEM wavefront (TPU), XLA "
@@ -264,7 +266,7 @@ def _run_pairs_batched(args, valid_pairs):
     # i's compute instead of overlapping them
     from concurrent.futures import ThreadPoolExecutor
 
-    quant = args.upload_quant == "int8"
+    quant = args.upload_quant
 
     def stage(bucket):
         return stage_rows_upload(

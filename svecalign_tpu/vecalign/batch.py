@@ -90,6 +90,62 @@ def _batched_gather_sample(vecs1, idxs):
     return gathered.reshape(vecs1.shape[0], -1, vecs1.shape[-1])
 
 
+# ---------------------------------------------------------------------------
+# device-side sampling (shared mode): indices come from the device PRNG, so
+# NOTHING but a 2-word key and the (P,) size vectors crosses the ~45 MB/s
+# tunnel — the round-1 implementation uploaded (P, costs_sample_size) int32
+# index tensors per depth per bucket (2.5 MB each at P=32), the single
+# largest recurring upload after the embeddings themselves
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("samps",))
+def _device_norm_sample(key, vecs1, h_sizes1, samps):
+    """Draw ceil(num_samps/overlaps) indices per overlap plane per pair on
+    device and gather the sample matrix. Size-0 pairs gather row 0 (zero
+    padding -> the compute_norms 'ones' fallback)."""
+    p, o1, _, _ = vecs1.shape
+    hi = jnp.maximum(h_sizes1, 1)
+    u = jax.random.uniform(key, (p, o1, samps))
+    idx = jnp.minimum(
+        (u * hi[:, None, None]).astype(jnp.int32), (hi - 1)[:, None, None]
+    )
+    return _batched_gather_sample(vecs1, idx)
+
+
+@partial(jax.jit, static_argnames=("S", "frac"))
+def _device_knob_penalty(key, v0, v1, n0, n1, h0, h1, S, frac):
+    """Deletion penalties for a bucket with NO index upload: random pair
+    draws (or the exhaustive cross product for pairs smaller than the
+    sample budget, reference dp_utils.py:278-323) are generated on device,
+    scored, histogrammed, and percentile-interpolated on device."""
+    p = v0.shape[0]
+    k1, k2 = jax.random.split(key)
+    hx = jnp.maximum(h0, 1)
+    hy = jnp.maximum(h1, 1)
+    xs = jnp.minimum(
+        (jax.random.uniform(k1, (p, S)) * hx[:, None]).astype(jnp.int32),
+        (hx - 1)[:, None],
+    )
+    ys = jnp.minimum(
+        (jax.random.uniform(k2, (p, S)) * hy[:, None]).astype(jnp.int32),
+        (hy - 1)[:, None],
+    )
+    small = (h0 * h1 < S) & (h0 > 0) & (h1 > 0)
+    ar = jnp.arange(S, dtype=jnp.int32)
+    ex_x = jnp.minimum(ar[None, :] // hy[:, None], hx[:, None] - 1)
+    ex_y = ar[None, :] % hy[:, None]
+    x_idx = jnp.where(small[:, None], ex_x, xs)
+    y_idx = jnp.where(small[:, None], ex_y, ys)
+    valid_pair = (h0 > 0) & (h1 > 0)
+    n_valid = jnp.where(valid_pair, jnp.where(small, h0 * h1, S), 0)
+
+    counts, smax = _batched_score_hist(v0, v1, n0, n1, x_idx, y_idx, n_valid)
+    from svecalign_tpu.vecalign.deletion import device_del_penalty
+
+    return device_del_penalty(counts, smax, frac, valid_pair)
+
+
 @jax.jit
 def _batched_score_pairs(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
     def one(v0, v1, n0, n1, xi, yi):
@@ -234,6 +290,40 @@ def _quantize_rows(emb: np.ndarray):
     return q, scale
 
 
+def _quantize_rows4(emb: np.ndarray):
+    """Per-row symmetric int4 quantization, two codes packed per byte —
+    quarter of the fp16 upload. Codes in [-7, 7]; NaN rows -> scale 0.
+    ~2% cosine noise on unit-norm speech embeddings; gated by the
+    committed-example quality test (tests/test_batch_align.py)."""
+    m = np.abs(emb.astype(np.float32, copy=False)).max(axis=-1)
+    m = np.where(np.isnan(m), 0.0, m)
+    scale = (m / 7.0).astype(np.float32)
+    denom = np.where(scale == 0.0, 1.0, scale)[..., None]
+    with np.errstate(invalid="ignore"):
+        q = np.rint(emb.astype(np.float32) / denom)
+        q = np.where(np.isnan(q), 0.0, np.clip(q, -7, 7)).astype(np.int8)
+    lo = q[..., 0::2] & 0xF
+    hi = (q[..., 1::2] & 0xF) << 4
+    return (lo | hi).astype(np.int8), scale
+
+
+@jax.jit
+def _build_doc_tensors_q4(packed: jax.Array, scale: jax.Array, ids: jax.Array) -> jax.Array:
+    """int4 variant of _build_doc_tensors_q: unpack two nibbles per byte
+    (arithmetic shifts sign-extend), dequantize, gather, normalize."""
+    lo = (packed << 4) >> 4  # low nibble, sign-extended int8
+    hi = packed >> 4  # high nibble (arithmetic shift keeps sign)
+    q = jnp.stack([lo, hi], axis=-1).reshape(
+        packed.shape[0], packed.shape[1], 2 * packed.shape[2]
+    )
+    emb = q.astype(jnp.float32) * scale[:, :, None]
+    gathered = jnp.take_along_axis(
+        emb[:, None], jnp.maximum(ids, 0)[:, :, :, None], axis=2
+    )
+    vecs = jnp.where((ids >= 0)[:, :, :, None], gathered, 0.0)
+    return costs_ops.make_norm1(vecs)
+
+
 @jax.jit
 def _build_doc_tensors(emb: jax.Array, ids: jax.Array) -> jax.Array:
     """(P, rows, d) raw embeddings + (P, n_overlaps, n) row ids (-1 = zero)
@@ -250,21 +340,28 @@ def _build_doc_tensors(emb: jax.Array, ids: jax.Array) -> jax.Array:
     return costs_ops.make_norm1(vecs)
 
 
+upload_stats = {"bytes": 0, "buckets": 0}
+"""Cumulative host->device staging bytes (embeddings/ids/scales) — the
+tunnel-limited resource. bench.py reports bytes-per-pair from this."""
+
+
 def stage_rows_upload(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
-    quantize: bool = False,
+    quantize=False,
 ):
     """Pad a bucket of (emb_rows0, ids0, emb_rows1, ids1) pairs and START
     the (asynchronous) upload + device-side tensor build. Returns an opaque
     handle for :func:`run_staged`; uploads overlap with whatever the device
     is doing (double buffering across buckets).
 
-    quantize=True uploads per-row symmetric int8 (+ fp32 scales) instead of
-    the raw dtype — half the fp16 bytes over the bandwidth-limited tunnel.
-    Quantization noise is ~0.3% of each cosine, far below alignment decision
-    margins (tests/test_batch_align.py keeps the committed-example gate)."""
+    ``quantize``: False/"fp16" uploads the raw dtype; True/"int8" per-row
+    symmetric int8 (+ fp32 scales) — half the fp16 bytes over the
+    bandwidth-limited tunnel, ~0.3% cosine noise; "int4" packs two codes
+    per byte — quarter of fp16, ~2% cosine noise (both gated by the
+    committed-example quality tests in tests/test_batch_align.py)."""
     P = len(pairs)
     assert P > 0
+    mode = {False: "fp16", True: "int8"}.get(quantize, quantize)
     n_over0 = pairs[0][1].shape[0]
     n_over1 = pairs[0][3].shape[0]
     dim = pairs[0][0].shape[1]
@@ -286,14 +383,24 @@ def stage_rows_upload(
         ids0[i, :, : i0.shape[1]] = i0
         ids1[i, :, : i1.shape[1]] = i1
 
-    if quantize:
+    if mode == "int4":
+        q0, s0 = _quantize_rows4(emb0)
+        q1, s1 = _quantize_rows4(emb1)
+        v0 = _build_doc_tensors_q4(jnp.asarray(q0), jnp.asarray(s0), jnp.asarray(ids0))
+        v1 = _build_doc_tensors_q4(jnp.asarray(q1), jnp.asarray(s1), jnp.asarray(ids1))
+        staged = (q0, s0, q1, s1, ids0, ids1)
+    elif mode == "int8":
         q0, s0 = _quantize_rows(emb0)
         q1, s1 = _quantize_rows(emb1)
         v0 = _build_doc_tensors_q(jnp.asarray(q0), jnp.asarray(s0), jnp.asarray(ids0))
         v1 = _build_doc_tensors_q(jnp.asarray(q1), jnp.asarray(s1), jnp.asarray(ids1))
+        staged = (q0, s0, q1, s1, ids0, ids1)
     else:
         v0 = _build_doc_tensors(jnp.asarray(emb0), jnp.asarray(ids0))
         v1 = _build_doc_tensors(jnp.asarray(emb1), jnp.asarray(ids1))
+        staged = (emb0, emb1, ids0, ids1)
+    upload_stats["bytes"] += sum(a.nbytes for a in staged)
+    upload_stats["buckets"] += 1
     sizes0 = np.array([p[1].shape[1] for p in pairs], dtype=np.int32)
     sizes1 = np.array([p[3].shape[1] for p in pairs], dtype=np.int32)
     return (v0, v1, sizes0, sizes1)
@@ -394,7 +501,6 @@ def _vecalign_batched_core(
     if width_over2 < 3:
         width_over2 = 3
     P = v0.shape[0]
-    rng = np.random.default_rng(seed)
     n_pad, m_pad = v0.shape[2], v1.shape[2]
 
     # shared pyramid depth from the padded shapes
@@ -419,6 +525,7 @@ def _vecalign_batched_core(
 
     paired = sampling == "paired"
     pair_rngs = [np.random.default_rng(seed) for _ in range(P)] if paired else None
+    base_key = jax.random.PRNGKey(seed)  # device PRNG for shared mode
 
     # margin normalizers for every depth BEFORE any knob draw (the per-pair
     # driver's order, so "paired" RNG streams line up with pyramid.vecalign)
@@ -432,9 +539,9 @@ def _vecalign_batched_core(
         samps0 = math.ceil(num_samps_for_norm / o0)
 
         if paired:
-            # per-pair streams; a size-0 pair draws nothing (its gathered
-            # rows are zero, so the normalizers land on compute_norms'
-            # "ones" fallback exactly)
+            # per-pair host streams; a size-0 pair draws nothing (its
+            # gathered rows are zero, so the normalizers land on
+            # compute_norms' "ones" fallback exactly)
             idx1 = np.zeros((P, o1, samps1), dtype=np.int32)
             idx0 = np.zeros((P, o0, samps0), dtype=np.int32)
             for i in range(P):
@@ -442,20 +549,23 @@ def _vecalign_batched_core(
                     idx1[i] = pair_rngs[i].integers(0, h_sizes1[i], size=(o1, samps1))
                 if h_sizes0[i] > 0 and samps0:
                     idx0[i] = pair_rngs[i].integers(0, h_sizes0[i], size=(o0, samps0))
+            sample1 = _batched_gather_sample(e["v1"], jnp.asarray(idx1))
+            e["n0"] = _batched_norms_from_sample(e["v0"], sample1)
+            sample0 = _batched_gather_sample(e["v0"], jnp.asarray(idx0))
+            e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
         else:
-            idx1 = rng.integers(
-                0, np.maximum(h_sizes1, 1)[:, None, None],
-                size=(P, o1, samps1), dtype=np.int32,
+            # shared mode: the device PRNG draws the indices — no upload
+            kd = jax.random.fold_in(base_key, depth)
+            sample1 = _device_norm_sample(
+                jax.random.fold_in(kd, 0), e["v1"],
+                jnp.asarray(h_sizes1.astype(np.int32)), samps1,
             )
-            idx0 = rng.integers(
-                0, np.maximum(h_sizes0, 1)[:, None, None],
-                size=(P, o0, samps0), dtype=np.int32,
+            e["n0"] = _batched_norms_from_sample(e["v0"], sample1)
+            sample0 = _device_norm_sample(
+                jax.random.fold_in(kd, 1), e["v0"],
+                jnp.asarray(h_sizes0.astype(np.int32)), samps0,
             )
-
-        sample1 = _batched_gather_sample(e["v1"], jnp.asarray(idx1))
-        e["n0"] = _batched_norms_from_sample(e["v0"], sample1)
-        sample0 = _batched_gather_sample(e["v0"], jnp.asarray(idx0))
-        e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
+            e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
 
     # deletion penalties per depth; pairs smaller than the sample budget use
     # the exhaustive index cross product (reference dp_utils.py:278-323's
@@ -465,31 +575,33 @@ def _vecalign_batched_core(
         h_sizes0 = e["h_sizes0"]
         h_sizes1 = e["h_sizes1"]
         S = costs_sample_size
-        x_idx = np.zeros((P, S), dtype=np.int32)
-        y_idx = np.zeros((P, S), dtype=np.int32)
-        n_valid = np.zeros(P, dtype=np.int32)
-        for i in range(P):
-            e_size, f_size = int(h_sizes0[i]), int(h_sizes1[i])
-            r = pair_rngs[i] if paired else rng
-            if e_size > 0 and f_size > 0 and S > 0:
-                if e_size * f_size < S:
-                    xi, yi = np.meshgrid(
-                        np.arange(e_size, dtype=np.int32),
-                        np.arange(f_size, dtype=np.int32),
-                        indexing="ij",
-                    )
-                    n = e_size * f_size
-                    x_idx[i, :n] = xi.ravel()
-                    y_idx[i, :n] = yi.ravel()
-                    n_valid[i] = n
-                else:
-                    x_idx[i] = r.integers(0, e_size, size=S).astype(np.int32)
-                    y_idx[i] = r.integers(0, f_size, size=S).astype(np.int32)
-                    n_valid[i] = S
 
         if paired:
-            # host knob, bit-matching make_del_knob / DeletionKnob
+            # host draws (pair-RNG order) + host knob, bit-matching
+            # make_del_knob / DeletionKnob
             from svecalign_tpu.vecalign.deletion import DeletionKnob
+
+            x_idx = np.zeros((P, S), dtype=np.int32)
+            y_idx = np.zeros((P, S), dtype=np.int32)
+            n_valid = np.zeros(P, dtype=np.int32)
+            for i in range(P):
+                e_size, f_size = int(h_sizes0[i]), int(h_sizes1[i])
+                r = pair_rngs[i]
+                if e_size > 0 and f_size > 0 and S > 0:
+                    if e_size * f_size < S:
+                        xi, yi = np.meshgrid(
+                            np.arange(e_size, dtype=np.int32),
+                            np.arange(f_size, dtype=np.int32),
+                            indexing="ij",
+                        )
+                        n = e_size * f_size
+                        x_idx[i, :n] = xi.ravel()
+                        y_idx[i, :n] = yi.ravel()
+                        n_valid[i] = n
+                    else:
+                        x_idx[i] = r.integers(0, e_size, size=S).astype(np.int32)
+                        y_idx[i] = r.integers(0, f_size, size=S).astype(np.int32)
+                        n_valid[i] = S
 
             scores = np.asarray(
                 _batched_score_pairs(
@@ -508,16 +620,14 @@ def _vecalign_batched_core(
                 pens[i] = knob.percentile_frac_to_del_penalty(del_percentile_frac)
             e["del_penalty"] = jnp.asarray(pens)
         else:
-            # batched sample -> device histogram -> device percentile
-            # interp; NO host pull (the penalty tensor feeds the DP directly)
-            counts, smax = _batched_score_hist(
+            # fully on device: PRNG draws -> scores -> histogram ->
+            # percentile interp; NOTHING crosses the tunnel but the key
+            e["del_penalty"] = _device_knob_penalty(
+                jax.random.fold_in(base_key, 1000 + depth),
                 e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
-                jnp.asarray(x_idx), jnp.asarray(y_idx),
-                n_valid=jnp.asarray(n_valid),
-            )
-            valid = jnp.asarray(n_valid > 0)
-            e["del_penalty"] = _batched_del_penalty(
-                counts, smax, del_percentile_frac, valid
+                jnp.asarray(h_sizes0.astype(np.int32)),
+                jnp.asarray(h_sizes1.astype(np.int32)),
+                S=S, frac=del_percentile_frac,
             )
 
     # dense level

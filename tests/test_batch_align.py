@@ -178,6 +178,7 @@ def test_batched_int8_upload_matches_committed(example_dir):
     pairs = [(e0, ids0, e1, ids1)]
     (fp16_aligns, _), = vecalign_batched_from_rows(pairs, quantize=False, **kw)
     (int8_aligns, _), = vecalign_batched_from_rows(pairs, quantize=True, **kw)
+    (int4_aligns, _), = vecalign_batched_from_rows(pairs, quantize="int4", **kw)
 
     gold = read_alignments(str(example_dir / f"{stem}.gold"))
     res = score_multiple([gold], [int8_aligns])
@@ -188,6 +189,41 @@ def test_batched_int8_upload_matches_committed(example_dir):
     b = set((tuple(x), tuple(y)) for x, y in int8_aligns)
     overlap = len(a & b) / max(len(a), 1)
     assert overlap >= 0.9, (overlap, len(a), len(b))
+
+    # int4 (quarter of fp16 bytes): must hold the published-quality gate
+    # and still agree with the fp16 path on most alignments
+    res4 = score_multiple([gold], [int4_aligns])
+    assert res4["f1_strict"] >= 0.57, res4
+    assert res4["f1_lax"] >= 0.95, res4
+    c = set((tuple(x), tuple(y)) for x, y in int4_aligns)
+    overlap4 = len(a & c) / max(len(a), 1)
+    # ~2% cosine noise flips more near-tie merges than int8; the binding
+    # gate is gold quality above (published-F1 floor)
+    assert overlap4 >= 0.80, (overlap4, len(a), len(c))
+
+
+def test_upload_byte_accounting():
+    """stage_rows_upload must account staged bytes, and int4 must stage
+    ~half of int8 (~quarter of fp16) for the embedding payload."""
+    from svecalign_tpu.vecalign import batch as B
+
+    rng = np.random.default_rng(12)
+    emb = rng.standard_normal((200, 64)).astype(np.float16)
+    ids = np.arange(200, dtype=np.int32)[None, :].repeat(3, axis=0)
+    pair = (emb, ids, emb, ids)
+
+    readings = {}
+    for mode in ("fp16", "int8", "int4"):
+        before = B.upload_stats["bytes"]
+        B.stage_rows_upload([pair], quantize=mode)
+        readings[mode] = B.upload_stats["bytes"] - before
+    ids_bytes = 2 * ids.nbytes
+    emb16 = readings["fp16"] - ids_bytes
+    emb8 = readings["int8"] - ids_bytes - 2 * 200 * 4  # minus scales
+    emb4 = readings["int4"] - ids_bytes - 2 * 200 * 4
+    assert emb16 == 2 * emb.nbytes
+    assert emb8 == emb16 // 2
+    assert emb4 == emb16 // 4
 
 
 def test_small_pair_uses_exhaustive_cross_product():
