@@ -132,11 +132,12 @@ def run_oracle_baseline(stack, v0, v1) -> float:
     return time.perf_counter() - t0
 
 
-def run_batched(v0, v1, batch: int = 32, n_iters: int = 4) -> float:
+def run_batched(v0, v1, batch: int = 32, n_iters: int = 4, quant="int8") -> float:
     """Throughput of the batched multi-pair driver (seconds per pair),
     via the production raw-rows upload path (int8 quantized uploads: the
     tunnel drops to ~45 MB/s after any D2H transfer, so upload bytes are
-    the steady-state bottleneck)."""
+    the steady-state bottleneck). ``quant='int4'`` measures the packed
+    4-bit upload mode (quarter of fp16 bytes)."""
     from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
     from svecalign_tpu.vecalign.batch import vecalign_batched_from_rows
     from svecalign_tpu.vecalign.vecalign import make_alignment_types
@@ -166,7 +167,7 @@ def run_batched(v0, v1, batch: int = 32, n_iters: int = 4) -> float:
     )
     from svecalign_tpu.vecalign.batch import run_staged, stage_rows_upload
 
-    vecalign_batched_from_rows(pairs, quantize=True, **kwargs)  # warmup/compile
+    vecalign_batched_from_rows(pairs, quantize=quant, **kwargs)  # warmup/compile
 
     # production loop shape (seg_align/align.py): double-buffered with the
     # staging on a worker thread — in the tunnel's post-D2H mode device_put
@@ -179,11 +180,11 @@ def run_batched(v0, v1, batch: int = 32, n_iters: int = 4) -> float:
     with ThreadPoolExecutor(1) as ex:
         for _ in range(n_iters):
             t0 = time.perf_counter()
-            fut = ex.submit(stage_rows_upload, pairs, True)
+            fut = ex.submit(stage_rows_upload, pairs, quant)
             for bi in range(n_buckets):
                 handle = fut.result()
                 if bi + 1 < n_buckets:
-                    fut = ex.submit(stage_rows_upload, pairs, True)
+                    fut = ex.submit(stage_rows_upload, pairs, quant)
                 run_staged(handle, **kwargs)
             times.append((time.perf_counter() - t0) / n_buckets)
     return min(times) / batch
@@ -294,6 +295,7 @@ def main():
     bytes_per_pair = (
         batch_mod.upload_stats["bytes"] / staged_pairs if staged_pairs else 0
     )
+    batched4 = run_batched(v0, v1, quant="int4", n_iters=2)
     baseline = run_oracle_baseline(stack, v0, v1)
     enc_tokens, enc_mfu, enc_rtf = run_encoder()
     knn_qps, knn_tflops = run_knn()
@@ -318,6 +320,8 @@ def main():
         "baseline_numpy_seconds_per_pair": round(baseline, 4),
         "dp_cells_per_sec": round(cells / batched, 1),
         "upload_bytes_per_pair": int(bytes_per_pair),
+        "int4_seconds_per_pair": round(batched4, 4),
+        "int4_doc_pairs_per_hour": round(3600.0 / batched4, 2),
         "encoder_tokens_per_sec": round(enc_tokens, 1),
         "encoder_mfu_pct": round(100 * enc_mfu, 2),
         "encoder_audio_rtf": round(enc_rtf, 1),

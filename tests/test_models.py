@@ -82,6 +82,19 @@ def test_energy_vad_silence_gives_nothing():
     assert get_speech_timestamps(audio, EnergyVAD()) == []
 
 
+def test_bf16_gelu_below_rounding():
+    """The bf16 tanh-GELU fast path must be indistinguishable from exact
+    erf-GELU after bf16 rounding (worst-case rel error 1.8e-4 << 2^-8)."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.models.laser_encoder import _gelu
+
+    x = np.linspace(-6, 6, 20001, dtype=np.float32)
+    exact = np.asarray(_gelu(jnp.asarray(x)))  # fp32 -> erf
+    fast = np.asarray(_gelu(jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
+    np.testing.assert_allclose(fast, exact, rtol=2**-6, atol=2**-7)
+
+
 def test_silero_v4_vad_runs():
     vad = SileroStyleVAD()  # alias for SileroV4VAD
     rng = np.random.default_rng(4)
