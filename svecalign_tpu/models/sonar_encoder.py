@@ -173,15 +173,42 @@ class SonarSpeechModel:
 
         from svecalign_tpu.models.param_utils import load_params_npz, numpy_init
 
+        dummy = jnp.zeros((1, self.BUCKET_FRAMES[0] // 2, 2 * config.n_mels))
+        init_args = (dummy, jnp.ones((1, self.BUCKET_FRAMES[0] // 2), bool))
         if ckpt_path:
-            self.params = load_params_npz(ckpt_path)
+            loaded = load_params_npz(ckpt_path)
+            # trunk-only checkpoints (convert_torch_ckpt.py sonar on a bare
+            # Wav2Vec2BertModel) are usable: missing leaves (the pooler)
+            # fall back to random init with a warning
+            from flax.traverse_util import flatten_dict, unflatten_dict
+
+            base = flatten_dict(numpy_init(self.model, init_args, seed)["params"])
+            got = flatten_dict(loaded["params"])
+            missing = [k for k in base if k not in got]
+            extra = [k for k in got if k not in base]
+            if extra:
+                raise KeyError(
+                    f"{ckpt_path}: {len(extra)} unknown parameter paths, e.g. "
+                    f"{'/'.join(extra[0])} — wrong architecture/config?"
+                )
+            for k in base:
+                if k in got:
+                    if base[k].shape != got[k].shape:
+                        raise ValueError(
+                            f"{ckpt_path}: shape mismatch at {'/'.join(k)}: "
+                            f"{got[k].shape} vs expected {base[k].shape}"
+                        )
+                    base[k] = got[k]
+            if missing:
+                logger.warning(
+                    f"{ckpt_path}: {len(missing)} parameters not in checkpoint "
+                    f"(e.g. {'/'.join(missing[0])}) kept at random init — "
+                    "trunk-only checkpoint?"
+                )
+            self.params = {"params": unflatten_dict(base)}
             logger.info(f"Loaded SONAR params from {ckpt_path}")
         else:
-            dummy = jnp.zeros((1, self.BUCKET_FRAMES[0] // 2, 2 * config.n_mels))
-            self.params = numpy_init(
-                self.model, (dummy, jnp.ones((1, self.BUCKET_FRAMES[0] // 2), bool)),
-                seed,
-            )
+            self.params = numpy_init(self.model, init_args, seed)
             logger.warning(
                 "SONAR encoder initialized with RANDOM weights; "
                 "embeddings are not meaningful for mining."

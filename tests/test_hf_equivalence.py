@@ -317,6 +317,58 @@ def test_sonar_trunk_end_to_end_matches_hf():
         )
 
 
+def test_sonar_converted_ckpt_drops_in(tmp_path):
+    """convert_torch_ckpt.py sonar on a bare HF Wav2Vec2BertModel must
+    produce an npz that SonarSpeechModel loads directly (trunk weights
+    applied, pooler random-initialized with a warning), and the loaded
+    trunk must drive the same embeddings as the converted tree."""
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_torch_ckpt import map_hf_w2v_bert_state
+
+    from transformers import Wav2Vec2BertConfig, Wav2Vec2BertModel
+
+    from svecalign_tpu.models.sonar_encoder import SonarEncoderConfig, SonarSpeechModel
+
+    hf_cfg = Wav2Vec2BertConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, feature_projection_input_dim=160,
+        conv_depthwise_kernel_size=7, apply_spec_augment=False, add_adapter=False,
+    )
+    torch.manual_seed(3)
+    hf = Wav2Vec2BertModel(hf_cfg).eval()
+    flat = map_hf_w2v_bert_state(hf.state_dict(), prefix="trunk/")
+    ckpt = tmp_path / "sonar_trunk.npz"
+    np.savez(ckpt, **flat)
+
+    cfg = SonarEncoderConfig(
+        n_mels=80, model_dim=64, n_layers=2, n_heads=4, ffn_dim=128,
+        conv_kernel=7, pool_dim=64,
+    )
+    m = SonarSpeechModel(config=cfg, ckpt_path=str(ckpt))
+    # the trunk leaves must be the converted tensors, not random
+    got = np.asarray(
+        m.params["params"]["trunk"]["fp_projection"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        got, hf.feature_projection.projection.weight.detach().numpy().T
+    )
+    rng = np.random.default_rng(7)
+    emb = m.encode([rng.standard_normal(16000).astype(np.float32)])
+    assert emb.shape == (1, 64) and np.isfinite(emb).all()
+
+    # wrong-architecture checkpoints must fail loudly, not silently
+    bad = {k: v for k, v in flat.items()}
+    bad["trunk/layers_9/final_layer_norm/scale"] = np.ones(64, np.float32)
+    bad_path = tmp_path / "bad.npz"
+    np.savez(bad_path, **bad)
+    with pytest.raises(KeyError):
+        SonarSpeechModel(config=cfg, ckpt_path=str(bad_path))
+
+
 def test_fairseq_key_rename_roundtrip(models):
     """Inverse-rename the HF state dict into fairseq key names and run the
     fairseq conversion path; it must yield the identical parameter set."""
