@@ -190,6 +190,58 @@ def run_batched(v0, v1, batch: int = 32, n_iters: int = 4, quant="int8") -> floa
     return min(times) / batch
 
 
+def run_fused(batch: int = 32, n_iters: int = 4) -> float:
+    """Throughput of the fused-pipeline align path (seconds per pair):
+    embedding rows are already ON DEVICE (pipeline --fused handoff,
+    utils/embed_cache.py), so only the small id maps cross the tunnel.
+    Quality is exactly the fp16 file path (bit-identical,
+    tests/test_fused.py)."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.utils import embed_cache
+    from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
+    from svecalign_tpu.vecalign.batch import run_staged, stage_rows_device
+    from svecalign_tpu.vecalign.vecalign import make_alignment_types
+
+    s2i, emb0 = read_in_embeddings(
+        str(EXAMPLE / f"cat_segs/en/{STEM}_en.txt"),
+        str(EXAMPLE / f"embeds/en/{STEM}_en.embed"), use_stopes=True,
+    )
+    t2i, emb1 = read_in_embeddings(
+        str(EXAMPLE / f"cat_segs/de/{STEM}_de.txt"),
+        str(EXAMPLE / f"embeds/de/{STEM}_de.embed"), use_stopes=True,
+    )
+    src_lines = open(EXAMPLE / f"segments/en/{STEM}_en.txt").readlines()
+    tgt_lines = open(EXAMPLE / f"segments/de/{STEM}_de.txt").readlines()
+    ids0 = make_doc_ids(s2i, emb0.shape[0], src_lines, 5, overlap_segments=True)
+    ids1 = make_doc_ids(t2i, emb1.shape[0], tgt_lines, 5, overlap_segments=True)
+
+    rows = embed_cache.max_rows
+    dev = []
+    for emb in (emb0, emb1):
+        padded = np.zeros((rows, emb.shape[1]), np.float16)
+        padded[: emb.shape[0]] = emb.astype(np.float16)
+        dev.append(jnp.asarray(padded))
+    pairs = [(dev[0], ids0, dev[1], ids1) for _ in range(batch)]
+    kwargs = dict(
+        final_alignment_types=make_alignment_types(6),
+        del_percentile_frac=0.2,
+        width_over2=8,
+        max_size_full_dp=300,
+        costs_sample_size=20000,
+        num_samps_for_norm=100,
+    )
+    run_staged(stage_rows_device(pairs), **kwargs)  # warmup/compile
+    n_buckets = 4
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        for _ in range(n_buckets):
+            run_staged(stage_rows_device(pairs), **kwargs)
+        times.append((time.perf_counter() - t0) / n_buckets)
+    return min(times) / batch
+
+
 _PEAK_BF16 = {
     # per-chip dense bf16 peak (TFLOP/s); device_kind substrings
     "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
@@ -214,6 +266,13 @@ def run_encoder(n_iters: int = 10):
     random weights, one 20 s bucket at the max_tokens row count — the
     mining embed stage's steady-state shape. Inputs are staged to the
     device ONCE so this measures device time, not the tunnel.
+
+    Timing = two-point scan slope: N and 2N forwards chained inside ONE jit
+    program (each iteration's lengths depend on the previous output, so
+    nothing can overlap, dedupe, or DCE), result forced to host. The slope
+    cancels dispatch/transfer constants — plain dispatch loops measured up
+    to 30% slow (and per-iteration block_until_ready wildly wrong) through
+    the axon tunnel.
     """
     import jax
     import jax.numpy as jnp
@@ -229,13 +288,28 @@ def run_encoder(n_iters: int = 10):
     scales = jax.device_put(jnp.full((rows,), 1.0 / 32767.0, jnp.float32))
     lengths = jax.device_put(jnp.full((rows,), bucket, jnp.int32))
 
-    out = model._forward(model.params, wav_d, scales, lengths)
-    jax.block_until_ready(out)  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = model._forward(model.params, wav_d, scales, lengths)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    def make_chained(n):
+        @jax.jit
+        def chained(params, wav_i16, scales, lengths):
+            def body(c, _):
+                emb = model._dequant_apply(params, wav_i16, scales, lengths + c)
+                return jnp.int32(jnp.sum(emb)) % 2, None
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return c
+
+        return chained
+
+    def timed(n):
+        fn = make_chained(n)
+        np.asarray(fn(model.params, wav_d, scales, lengths))  # compile + warm
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(fn(model.params, wav_d, scales, lengths))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(2 * n_iters) - timed(n_iters)) / n_iters
 
     # analytic forward FLOPs from the architecture
     cfg = model.config
@@ -296,6 +370,7 @@ def main():
         batch_mod.upload_stats["bytes"] / staged_pairs if staged_pairs else 0
     )
     batched4 = run_batched(v0, v1, quant="int4", n_iters=2)
+    fused = run_fused()
     baseline = run_oracle_baseline(stack, v0, v1)
     enc_tokens, enc_mfu, enc_rtf = run_encoder()
     knn_qps, knn_tflops = run_knn()
@@ -310,16 +385,17 @@ def main():
 
     import jax
 
-    # headline: best quality-gated upload mode (int8 and int4 both hold
-    # the committed-example gold-F1 gate, tests/test_batch_align.py);
-    # per-mode numbers follow
-    best = min(batched, batched4)
+    # headline: best quality-gated mode — int8/int4 uploads hold the
+    # committed-example gold-F1 gate (tests/test_batch_align.py); the fused
+    # pipeline mode is bit-identical to the fp16 file path
+    # (tests/test_fused.py); per-mode numbers follow
+    best = min(batched, batched4, fused)
     result = {
         "metric": "doc_pairs_aligned_per_hour_per_chip",
         "value": round(3600.0 / best, 2),
         "unit": "doc-pairs/hour/chip",
         "vs_baseline": round(baseline / best, 3),
-        "headline_mode": "int8" if best == batched else "int4",
+        "headline_mode": {batched: "int8", batched4: "int4", fused: "fused"}[best],
         "batched_seconds_per_pair": round(batched, 4),
         "single_pair_seconds": round(ours, 4),
         "baseline_numpy_seconds_per_pair": round(baseline, 4),
@@ -327,6 +403,8 @@ def main():
         "upload_bytes_per_pair": int(bytes_per_pair),
         "int4_seconds_per_pair": round(batched4, 4),
         "int4_doc_pairs_per_hour": round(3600.0 / batched4, 2),
+        "fused_seconds_per_pair": round(fused, 4),
+        "fused_doc_pairs_per_hour": round(3600.0 / fused, 2),
         "encoder_tokens_per_sec": round(enc_tokens, 1),
         "encoder_mfu_pct": round(100 * enc_mfu, 2),
         "encoder_audio_rtf": round(enc_rtf, 1),

@@ -107,7 +107,15 @@ class ConvFeatureExtractor(nn.Module):
 
 
 class TransformerLayer(nn.Module):
-    """Pre-norm ("stable layer norm") transformer layer, wav2vec2-large style."""
+    """Pre-norm ("stable layer norm") transformer layer, wav2vec2-large style.
+
+    Attention stays on the plain XLA path ON PURPOSE: the Pallas TPU flash
+    kernel was tried and measured 2.5x SLOWER at mining shapes (45.5 ms ->
+    114.6 ms per 7x20 s forward on v5e, scan-slope method) — head_dim 64
+    fills only half the kernel's 128-lane tiles, while XLA's unfused
+    attention already runs the whole forward at ~62% MFU. Revisit only for
+    head_dim >= 128 models.
+    """
 
     config: LaserEncoderConfig
 
@@ -195,6 +203,14 @@ class LaserSpeechEncoder(nn.Module):
         neg = jnp.finfo(jnp.float32).min
         x = jnp.where(mask[:, :, None], x.astype(jnp.float32), neg)
         return jnp.max(x, axis=1)
+
+
+@jax.jit
+def _scatter_rows_fp16(dev: jax.Array, emb: jax.Array, idx: jax.Array) -> jax.Array:
+    """Scatter a batch's embeddings into the fused-pipeline device buffer as
+    fp16 (the .embed file dtype, so the cached rows and the file agree
+    bit-for-bit). Out-of-range indices (batch padding) are dropped."""
+    return dev.at[idx].set(emb.astype(jnp.float16), mode="drop")
 
 
 class SpeechLaserModel:
@@ -313,14 +329,29 @@ class SpeechLaserModel:
         dp = getattr(self, "_dp_rows", 1)
         return -(-rows // dp) * dp
 
-    def encode(self, waveforms) -> np.ndarray:
+    def encode(self, waveforms, keep_device: bool = False):
         """Encode a list of 1-D float32 waveforms -> (N, dim) float32.
 
         Buckets by length and pads every batch to a FIXED (rows, bucket)
         shape per bucket, so XLA compiles exactly one program per bucket
         (padding rows have length 0 and are discarded).
+
+        ``keep_device``: additionally scatter every batch's output (as fp16,
+        the .embed file's dtype) into ONE (embed_cache.max_rows, dim) device
+        buffer and return ``(out, device_rows)`` — the fused pipeline's
+        handoff to the align stage, which then needs no re-upload. The
+        scatter is a fixed-shape device op per bucket (no per-document
+        compile); returns ``(out, None)`` if N exceeds the cache row cap.
         """
         out = np.zeros((len(waveforms), self.config.encoder_dim), dtype=np.float32)
+        dev = None
+        if keep_device:
+            from svecalign_tpu.utils import embed_cache
+
+            if len(waveforms) <= embed_cache.max_rows:
+                dev = jnp.zeros(
+                    (embed_cache.max_rows, self.config.encoder_dim), jnp.float16
+                )
 
         by_bucket: dict = {}
         for i, w in enumerate(waveforms):
@@ -353,7 +384,12 @@ class SpeechLaserModel:
                     self.params, jnp.asarray(padded), jnp.asarray(scales),
                     jnp.asarray(lengths),
                 )
+                if dev is not None:
+                    # out-of-range target rows (padding) drop on device
+                    idx = np.full((rows,), np.iinfo(np.int32).max, np.int32)
+                    idx[: len(chunk)] = [i for i, _ in chunk]
+                    dev = _scatter_rows_fp16(dev, emb, jnp.asarray(idx))
                 emb = np.asarray(emb, dtype=np.float32)
                 for row, (i, _) in enumerate(chunk):
                     out[i] = emb[row]
-        return out
+        return (out, dev) if keep_device else out

@@ -59,6 +59,17 @@ def parse_args():
     parser.add_argument("--tgt_ckpt_name", type=str, default=None)
     parser.add_argument("--alignment_max_size", type=int, default=6)
     parser.add_argument("--pair_batch", type=int, default=1)
+    parser.add_argument("--fused", action="store_true", default=False,
+                        help="fused embed->align handoff: keep each document's "
+                             "embedding rows ON DEVICE between the stages so the "
+                             "align stage skips the .embed read + re-upload "
+                             "(the tunnel-limited resource; utils/embed_cache.py). "
+                             "The .embed files are still written — resume and "
+                             "the stage-boundary file contract are unchanged.")
+    parser.add_argument("--fused_max_rows", type=int, default=4096,
+                        help="row cap per cached document (one global shape -> "
+                             "one compile); bigger documents fall back to the "
+                             "file+upload path.")
     parser.add_argument("--max_cost", type=float, default=0.7)
     parser.add_argument("--max_num_align", type=int, default=3)
     parser.add_argument("--min_dur", type=float, default=1.0)
@@ -88,6 +99,11 @@ def main():
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     unknown = set(stages) - set(STAGES)
     assert not unknown, f"unknown stages: {unknown}"
+
+    if args.fused:
+        from svecalign_tpu.utils import embed_cache
+
+        embed_cache.enable(rows=args.fused_max_rows)
 
     out = Path(args.out_dir)
     meta = args.metadata
@@ -138,6 +154,11 @@ def main():
                 "--seg_dir", seg, "--concat_dir", cat, "--embed_dir", emb,
                 "--is_stopes_embed", "-a", str(args.alignment_max_size),
                 "--ign_indices_dir", uncats, "--pair_batch", str(args.pair_batch))
+    if args.fused:
+        # the align stage was the only consumer; free the HBM
+        from svecalign_tpu.utils import embed_cache
+
+        embed_cache.clear()
     if "filter_cost" in stages:
         _invoke("svecalign_tpu.postprocess.filter_by_cost", meta, ali_c,
                 "--align_dir", ali, "--max_cost", str(args.max_cost), *langs)

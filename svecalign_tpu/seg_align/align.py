@@ -187,8 +187,12 @@ def main():
 
         profile_ctx = jax.profiler.trace(args.profile_dir)
 
+    from svecalign_tpu.utils import embed_cache
+
     with profile_ctx:
-        if args.pair_batch > 1:
+        # the fused pipeline handoff lives in the batched driver, so use it
+        # (even at batch 1) whenever the embed stage left rows on device
+        if args.pair_batch > 1 or embed_cache.enabled:
             if args.dp_backend == "native":
                 logger.warning(
                     "--dp_backend native is ignored with --pair_batch > 1: "
@@ -205,8 +209,17 @@ def _run_pairs_batched(args, valid_pairs):
 
     import numpy as np
 
-    from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
-    from svecalign_tpu.vecalign.batch import run_staged, stage_rows_upload
+    from svecalign_tpu.utils import embed_cache
+    from svecalign_tpu.utils.embedding_utils import (
+        make_doc_ids,
+        read_in_embeddings,
+        read_sent2id,
+    )
+    from svecalign_tpu.vecalign.batch import (
+        run_staged,
+        stage_rows_device,
+        stage_rows_upload,
+    )
     from svecalign_tpu.vecalign.vecalign import (
         load_ignore_index_file,
         make_alignment_types,
@@ -216,31 +229,49 @@ def _run_pairs_batched(args, valid_pairs):
     types = make_alignment_types(args.alignment_max_size)
     width_over2 = math.ceil((args.alignment_max_size - 1) / 2.0) + args.search_buffer_size
 
-    loaded = []
+    loaded = []        # file-backed pairs: fp16 rows re-uploaded per bucket
+    fused_loaded = []  # fused-pipeline pairs: rows already on device
     for pair in valid_pairs:
-        s2i, emb0 = read_in_embeddings(
-            pair.src_concat_path, pair.src_embed_path, args.is_stopes_embed, args.fp16_embed
-        )
-        t2i, emb1 = read_in_embeddings(
-            pair.tgt_concat_path, pair.tgt_embed_path, args.is_stopes_embed, args.fp16_embed
-        )
         src_lines = open(pair.src_seg_path, encoding="utf-8").readlines()
         tgt_lines = open(pair.tgt_seg_path, encoding="utf-8").readlines()
+
+        cached0 = embed_cache.get(pair.src_embed_path)
+        cached1 = embed_cache.get(pair.tgt_embed_path)
+        if cached0 is not None and cached1 is not None:
+            # fused pipeline (utils/embed_cache.py): the embed stage left
+            # the rows on device — no file read, no re-upload
+            s2i = read_sent2id(pair.src_concat_path)
+            t2i = read_sent2id(pair.tgt_concat_path)
+            n_rows0, emb0 = cached0
+            n_rows1, emb1 = cached1
+        else:
+            s2i, emb0 = read_in_embeddings(
+                pair.src_concat_path, pair.src_embed_path,
+                args.is_stopes_embed, args.fp16_embed,
+            )
+            t2i, emb1 = read_in_embeddings(
+                pair.tgt_concat_path, pair.tgt_embed_path,
+                args.is_stopes_embed, args.fp16_embed,
+            )
+            n_rows0, n_rows1 = emb0.shape[0], emb1.shape[0]
+            emb0 = emb0.astype(np.float16)
+            emb1 = emb1.astype(np.float16)
         # raw fp16 rows + index maps: the overlap tensor is gathered on
         # device (uploading it materialized repeats every row ~n_overlaps x)
         ids0 = make_doc_ids(
-            s2i, emb0.shape[0], src_lines, args.alignment_max_size - 1,
+            s2i, n_rows0, src_lines, args.alignment_max_size - 1,
             ignore_indices=load_ignore_index_file(pair.src_ignore_indices)
             if pair.src_ignore_indices else None,
             overlap_segments=True,
         )
         ids1 = make_doc_ids(
-            t2i, emb1.shape[0], tgt_lines, args.alignment_max_size - 1,
+            t2i, n_rows1, tgt_lines, args.alignment_max_size - 1,
             ignore_indices=load_ignore_index_file(pair.tgt_ignore_indices)
             if pair.tgt_ignore_indices else None,
             overlap_segments=True,
         )
-        loaded.append((pair, emb0.astype(np.float16), ids0, emb1.astype(np.float16), ids1))
+        item = (pair, emb0, ids0, emb1, ids1)
+        (fused_loaded if cached0 is not None and cached1 is not None else loaded).append(item)
 
     kwargs = dict(
         final_alignment_types=types,
@@ -253,33 +284,46 @@ def _run_pairs_batched(args, valid_pairs):
         dp_backend=args.dp_backend if args.dp_backend != "native" else "auto",
     )
 
+    if fused_loaded:
+        logger.info(
+            f"fused pipeline: {len(fused_loaded)}/{len(fused_loaded) + len(loaded)} "
+            "pairs use device-resident embeddings (no re-upload)"
+        )
+
     # bucket by size so padding stays modest; double-buffer: bucket i+1's
-    # upload is dispatched (async) before bucket i's compute is consumed
-    loaded.sort(key=lambda it: it[2].shape[1] + it[4].shape[1])
-    buckets = [
-        loaded[s0 : s0 + args.pair_batch]
-        for s0 in range(0, len(loaded), args.pair_batch)
-    ]
+    # upload is dispatched (async) before bucket i's compute is consumed.
+    # Fused pairs form their own buckets with the device staging path.
+    quant = args.upload_quant
+
+    def stage_upload(bucket):
+        return stage_rows_upload(
+            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in bucket], quantize=quant
+        )
+
+    def stage_device(bucket):
+        return stage_rows_device([(e0, i0, e1, i1) for _, e0, i0, e1, i1 in bucket])
+
+    buckets = []
+    for items, stage_fn in ((loaded, stage_upload), (fused_loaded, stage_device)):
+        items.sort(key=lambda it: it[2].shape[1] + it[4].shape[1])
+        buckets += [
+            (items[s0 : s0 + args.pair_batch], stage_fn)
+            for s0 in range(0, len(items), args.pair_batch)
+        ]
+
     # staging (pad + quantize + device_put) runs on a worker thread: in the
     # tunnel's post-D2H mode device_put blocks its calling thread, so
     # same-thread staging would serialize bucket i+1's upload with bucket
     # i's compute instead of overlapping them
     from concurrent.futures import ThreadPoolExecutor
 
-    quant = args.upload_quant
-
-    def stage(bucket):
-        return stage_rows_upload(
-            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in bucket], quantize=quant
-        )
-
     with ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(stage, buckets[0]) if buckets else None
+        fut = ex.submit(buckets[0][1], buckets[0][0]) if buckets else None
         for bi in my_tqdm(range(len(buckets))):
-            bucket = buckets[bi]
+            bucket, _ = buckets[bi]
             handle = fut.result()
             if bi + 1 < len(buckets):
-                fut = ex.submit(stage, buckets[bi + 1])
+                fut = ex.submit(buckets[bi + 1][1], buckets[bi + 1][0])
             results = run_staged(handle, **kwargs)
             for (pair, *_), (aligns, scores) in zip(bucket, results):
                 with open(pair.output_path, mode="w") as fp:

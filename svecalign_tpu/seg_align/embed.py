@@ -100,6 +100,8 @@ def main():
             all_segments,
             str(tmp_out_path),
             fp16=not embed_fp32,
+            # fused pipeline: keep the rows on device under the FINAL path
+            cache_key=str(embed_out_path),
         )
         tmp_out_path.replace(embed_out_path)
     logger.info("Finished!")

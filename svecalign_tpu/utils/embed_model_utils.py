@@ -107,14 +107,32 @@ def embed_segments_to_file(
     segments: List[Tuple[int, int]],
     out_path: str,
     fp16: bool = True,
+    cache_key: str = None,
 ) -> np.ndarray:
     """Embed all segments of one audio and write the .embed file.
 
     SpeechLASER flavor -> fp16/fp32 .npy (stopes format); SONAR flavor ->
     headerless raw binary (reference embed_model_utils.py:102-134).
+
+    ``cache_key``: when the fused pipeline handoff is enabled
+    (utils/embed_cache.py), also keep the rows on device under this key —
+    normally the FINAL .embed path (``out_path`` is the tmp file) — so the
+    align stage skips the read+re-upload.
     """
+    from svecalign_tpu.utils import embed_cache
+
     wavs = slice_segments(wave_path, segments)
-    emb = embed_model.encode(wavs)
+    fused = (
+        embed_cache.enabled
+        and cache_key is not None
+        and hasattr(embed_model, "encode")
+        and "keep_device" in embed_model.encode.__func__.__code__.co_varnames
+    )
+    if fused:
+        emb, dev = embed_model.encode(wavs, keep_device=True)
+        embed_cache.put(cache_key, emb.shape[0], dev)
+    else:
+        emb = embed_model.encode(wavs)
     if embed_model_type == "speech_laser":
         write_stopes_embedding(emb, out_path, fp16=fp16)
     else:

@@ -83,13 +83,14 @@ def load_sent_embeddings(
     return embeddings
 
 
-def read_in_embeddings(
-    text_file: str,
-    embed_file: str,
-    use_stopes: bool = False,
-    fp16_embed: bool = False,
-) -> Tuple[Dict[str, int], np.ndarray]:
-    """Map each candidate line to its embedding row; duplicates keep the first."""
+def read_sent2id(text_file: str) -> Dict[str, int]:
+    """Candidate line -> embedding row id; duplicates keep the first.
+
+    The row order is the concat file's line order (the stage-5.1/5.3
+    contract, reference seg_align/concat_segs.py:118). Split out of
+    :func:`read_in_embeddings` for the fused pipeline, where the rows
+    themselves are already on device and the .embed file is never read.
+    """
     sent2line: Dict[str, int] = {}
     with open(text_file, "rt", encoding="utf-8") as fin:
         for i, line in enumerate(fin):
@@ -97,8 +98,20 @@ def read_in_embeddings(
             if key in sent2line:
                 continue  # duplicate lines share an embedding
             sent2line[key] = i
+    return sent2line
 
-    return sent2line, load_sent_embeddings(embed_file, use_stopes, fp16_embed)
+
+def read_in_embeddings(
+    text_file: str,
+    embed_file: str,
+    use_stopes: bool = False,
+    fp16_embed: bool = False,
+) -> Tuple[Dict[str, int], np.ndarray]:
+    """Map each candidate line to its embedding row; duplicates keep the first."""
+    return (
+        read_sent2id(text_file),
+        load_sent_embeddings(embed_file, use_stopes, fp16_embed),
+    )
 
 
 def make_overlap(

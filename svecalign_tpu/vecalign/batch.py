@@ -222,6 +222,19 @@ def _banded_chunk_for_batch(p: int) -> int:
     return max(64, 1 << (c.bit_length() - 1)) if c >= 64 else 64
 
 
+@jax.jit
+def _prep_band_offsets(boff_in: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Upload-once band offsets: upcast (int16 over the tunnel when the
+    document fits) and derive the node-space extension on device (reference
+    dp_core.pyx:315-328 — two replicated points at the front, then +1), so
+    only the cost-space offsets cross the ~45 MB/s tunnel and only once per
+    level instead of the four blocking device_puts the round-1 loop paid
+    (boff_in twice, boff_out, h_sizes)."""
+    b = boff_in.astype(jnp.int32)
+    first = b[:, :1]
+    return b, jnp.concatenate([first, first, b + 1], axis=1)
+
+
 @partial(jax.jit, static_argnames=("x_offsets", "y_offsets"))
 def _batched_banded_dp(costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs, ys):
     def fn(c, bi, bo, pen, x, y):
@@ -340,9 +353,11 @@ def _build_doc_tensors(emb: jax.Array, ids: jax.Array) -> jax.Array:
     return costs_ops.make_norm1(vecs)
 
 
-upload_stats = {"bytes": 0, "buckets": 0}
-"""Cumulative host->device staging bytes (embeddings/ids/scales) — the
-tunnel-limited resource. bench.py reports bytes-per-pair from this."""
+upload_stats = {"bytes": 0, "buckets": 0, "level_bytes": 0}
+"""Cumulative host->device staging bytes — the tunnel-limited resource.
+``bytes`` = bucket staging (embeddings/ids/scales); ``level_bytes`` = the
+per-refinement-level band-offset uploads. bench.py reports bytes-per-pair
+from this."""
 
 
 def stage_rows_upload(
@@ -400,6 +415,37 @@ def stage_rows_upload(
         v1 = _build_doc_tensors(jnp.asarray(emb1), jnp.asarray(ids1))
         staged = (emb0, emb1, ids0, ids1)
     upload_stats["bytes"] += sum(a.nbytes for a in staged)
+    upload_stats["buckets"] += 1
+    sizes0 = np.array([p[1].shape[1] for p in pairs], dtype=np.int32)
+    sizes1 = np.array([p[3].shape[1] for p in pairs], dtype=np.int32)
+    return (v0, v1, sizes0, sizes1)
+
+
+def stage_rows_device(
+    pairs: Sequence[Tuple[object, np.ndarray, object, np.ndarray]],
+):
+    """Fused-pipeline staging: each pair is (dev_rows0, ids0, dev_rows1,
+    ids1) where dev_rows are (embed_cache.max_rows, d) fp16 DEVICE arrays
+    produced by the embed stage (utils/embed_cache.py). Only the id maps
+    (a few KB) cross the tunnel; the embeddings never leave the device.
+
+    Because every cached entry shares one global row count, the stack +
+    gather program compiles once per (P, n_overlaps, n_pad) — not per
+    document."""
+    P = len(pairs)
+    assert P > 0
+    n_over0 = pairs[0][1].shape[0]
+    n_over1 = pairs[0][3].shape[0]
+    n_pad = max(p[1].shape[1] for p in pairs)
+    m_pad = max(p[3].shape[1] for p in pairs)
+    ids0 = np.full((P, n_over0, n_pad), -1, dtype=np.int32)
+    ids1 = np.full((P, n_over1, m_pad), -1, dtype=np.int32)
+    for i, (_, i0, _, i1) in enumerate(pairs):
+        ids0[i, :, : i0.shape[1]] = i0
+        ids1[i, :, : i1.shape[1]] = i1
+    v0 = _build_doc_tensors(jnp.stack([p[0] for p in pairs]), jnp.asarray(ids0))
+    v1 = _build_doc_tensors(jnp.stack([p[2] for p in pairs]), jnp.asarray(ids1))
+    upload_stats["bytes"] += ids0.nbytes + ids1.nbytes
     upload_stats["buckets"] += 1
     sizes0 = np.array([p[1].shape[1] for p in pairs], dtype=np.int32)
     sizes1 = np.array([p[3].shape[1] for p in pairs], dtype=np.int32)
@@ -511,14 +557,22 @@ def _vecalign_batched_core(
         s0 //= 2
         s1 //= 2
 
-    stack = {0: {"v0": v0, "v1": v1, "h_sizes0": sizes0, "h_sizes1": sizes1}}
+    # sizes live twice: numpy for host bookkeeping (traceback bounds, paired
+    # draws) and ONE device copy per side reused by every level's jits —
+    # per-level jnp.asarray re-uploads are blocking tunnel roundtrips
+    d_sizes0 = jnp.asarray(sizes0.astype(np.int32))
+    d_sizes1 = jnp.asarray(sizes1.astype(np.int32))
+    stack = {0: {"v0": v0, "v1": v1, "h_sizes0": sizes0, "h_sizes1": sizes1,
+                 "d_sizes0": d_sizes0, "d_sizes1": d_sizes1}}
     for depth in range(1, max_depth + 1):
         prev = stack[depth - 1]
         stack[depth] = {
-            "v0": _downsample_masked(prev["v0"], jnp.asarray(prev["h_sizes0"])),
-            "v1": _downsample_masked(prev["v1"], jnp.asarray(prev["h_sizes1"])),
+            "v0": _downsample_masked(prev["v0"], prev["d_sizes0"]),
+            "v1": _downsample_masked(prev["v1"], prev["d_sizes1"]),
             "h_sizes0": prev["h_sizes0"] // 2,
             "h_sizes1": prev["h_sizes1"] // 2,
+            "d_sizes0": prev["d_sizes0"] // 2,
+            "d_sizes1": prev["d_sizes1"] // 2,
         }
 
     import math
@@ -557,13 +611,11 @@ def _vecalign_batched_core(
             # shared mode: the device PRNG draws the indices — no upload
             kd = jax.random.fold_in(base_key, depth)
             sample1 = _device_norm_sample(
-                jax.random.fold_in(kd, 0), e["v1"],
-                jnp.asarray(h_sizes1.astype(np.int32)), samps1,
+                jax.random.fold_in(kd, 0), e["v1"], e["d_sizes1"], samps1,
             )
             e["n0"] = _batched_norms_from_sample(e["v0"], sample1)
             sample0 = _device_norm_sample(
-                jax.random.fold_in(kd, 1), e["v0"],
-                jnp.asarray(h_sizes0.astype(np.int32)), samps0,
+                jax.random.fold_in(kd, 1), e["v0"], e["d_sizes0"], samps0,
             )
             e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
 
@@ -625,8 +677,7 @@ def _vecalign_batched_core(
             e["del_penalty"] = _device_knob_penalty(
                 jax.random.fold_in(base_key, 1000 + depth),
                 e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
-                jnp.asarray(h_sizes0.astype(np.int32)),
-                jnp.asarray(h_sizes1.astype(np.int32)),
+                e["d_sizes0"], e["d_sizes1"],
                 S=S, frac=del_percentile_frac,
             )
 
@@ -635,7 +686,7 @@ def _vecalign_batched_core(
     costs = _batched_dense_costs(
         top["v0"][:, 0], top["v1"][:, 0], top["n0"][:, 0], top["n1"][:, 0]
     )
-    _, bp = _batched_dense_dp(costs, jnp.asarray(top["del_penalty"]))
+    _, bp = _batched_dense_dp(costs, top["del_penalty"])
     bp = np.asarray(bp)
     top["alignments"] = [
         dense_traceback(bp[i][: top["h_sizes0"][i] + 1, : top["h_sizes1"][i] + 1])
@@ -665,12 +716,21 @@ def _vecalign_batched_core(
             bo = costs_ops.path_to_band_offsets(path, width_over2)
             boff_in[i, : len(bo)] = bo
             boff_in[i, len(bo) :] = bo[-1]  # replicate; cells are invalid anyway
+        # host copy of the node-space extension for sparse_traceback; the
+        # device copy is derived on device from the single boff_in upload
         boff_out = np.stack(
             [dp_ops.extend_band_offsets(boff_in[i]) for i in range(P)]
         )
+        # int16 over the tunnel when offsets fit (values in [-w2, m_pad+1])
+        if m_pad + width_over2 + 2 < np.iinfo(np.int16).max:
+            boff_up = boff_in.astype(np.int16)
+        else:
+            boff_up = boff_in
+        upload_stats["level_bytes"] += boff_up.nbytes
+        d_boff_in, d_boff_out = _prep_band_offsets(jnp.asarray(boff_up))
 
         band_costs = _batched_banded_costs(
-            e["v0"], e["v1"], e["n0"], e["n1"], jnp.asarray(boff_in),
+            e["v0"], e["v1"], e["n0"], e["n1"], d_boff_in,
             x_offsets, y_offsets, width_over2,
             # paired mode matches the per-pair driver's chunking so the
             # windowed matmul tiles (and thus float rounding) line up
@@ -678,13 +738,13 @@ def _vecalign_batched_core(
         )
         csum, xp, yp = _run_batched_banded_dp(
             band_costs,
-            jnp.asarray(boff_in),
-            jnp.asarray(boff_out),
+            d_boff_in,
+            d_boff_out,
             x_offsets,
             y_offsets,
-            jnp.asarray(e["del_penalty"]),
-            jnp.asarray(e["h_sizes0"]),
-            jnp.asarray(e["h_sizes1"]),
+            e["del_penalty"],
+            e["d_sizes0"],
+            e["d_sizes1"],
             dp_backend=dp_backend,
         )
         # ONE pull for the whole bucket

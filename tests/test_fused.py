@@ -1,0 +1,141 @@
+"""Fused embed->align handoff (utils/embed_cache.py).
+
+The fused pipeline keeps each document's embedding rows on device between
+the embed and align stages; the contract is that the align output is
+BIT-IDENTICAL to the file+upload path (the cached rows are the same fp16
+values the .embed file holds).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+STEM = "20180313-0900-PLENARY-15"
+PAIR = f"{STEM}_en-{STEM}_de"
+
+
+@pytest.fixture(autouse=True)
+def _reset_cache():
+    from svecalign_tpu.utils import embed_cache
+
+    yield
+    embed_cache.disable()
+    for k in embed_cache.stats:
+        embed_cache.stats[k] = 0
+
+
+def _invoke(module: str, *argv: str) -> None:
+    import importlib
+
+    mod = importlib.import_module(module)
+    old = sys.argv
+    sys.argv = [module.rsplit(".", 1)[1], *argv]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+
+
+def test_encode_keep_device_matches_host_output():
+    """The device buffer the encoder leaves behind must hold exactly the
+    fp16 of the rows it returned (first N rows; the padding stays zero)."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.models.laser_encoder import LaserEncoderConfig, SpeechLaserModel
+    from svecalign_tpu.utils import embed_cache
+
+    embed_cache.enable(rows=32)
+    cfg = LaserEncoderConfig(
+        conv_layers=((16, 10, 5), (16, 3, 2)),
+        encoder_dim=32, encoder_layers=2, encoder_heads=2, encoder_ffn_dim=64,
+        conv_pos_kernel=16, conv_pos_groups=4, dtype="float32",
+    )
+    model = SpeechLaserModel(config=cfg, max_tokens=4 * 16000)
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1
+            for n in (1600, 3200, 2400, 8000, 1600)]
+    out, dev = model.encode(wavs, keep_device=True)
+    dev = np.asarray(dev)
+    assert dev.shape == (32, 32) and dev.dtype == np.float16
+    np.testing.assert_array_equal(dev[: len(wavs)], out.astype(np.float16))
+    assert not dev[len(wavs):].any()
+
+    # too many rows for the cap -> no device buffer, host output unchanged
+    embed_cache.max_rows = 3
+    out2, dev2 = model.encode(wavs, keep_device=True)
+    assert dev2 is None
+    np.testing.assert_array_equal(out2, out)
+
+
+def test_stage_rows_device_equals_upload():
+    """Device-resident staging == fp16 upload staging, bit for bit."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.vecalign import batch as B
+
+    rng = np.random.default_rng(1)
+    R_MAX, d, n_over = 64, 16, 3
+    kwargs = dict(
+        final_alignment_types=[(1, 1), (0, 1), (1, 0), (1, 2), (2, 1)],
+        del_percentile_frac=0.2, width_over2=4, max_size_full_dp=8,
+        costs_sample_size=50, num_samps_for_norm=10,
+    )
+    upload_pairs, device_pairs = [], []
+    for n, m in [(20, 18), (13, 15)]:
+        e0 = rng.standard_normal((n * 2, d)).astype(np.float16)
+        e1 = rng.standard_normal((m * 2, d)).astype(np.float16)
+        i0 = rng.integers(0, n * 2, size=(n_over, n)).astype(np.int32)
+        i1 = rng.integers(0, m * 2, size=(n_over, m)).astype(np.int32)
+        i0[1, ::3] = -1  # PAD/ignored entries
+        upload_pairs.append((e0, i0, e1, i1))
+        pad0 = np.zeros((R_MAX, d), np.float16)
+        pad0[: e0.shape[0]] = e0
+        pad1 = np.zeros((R_MAX, d), np.float16)
+        pad1[: e1.shape[0]] = e1
+        device_pairs.append((jnp.asarray(pad0), i0, jnp.asarray(pad1), i1))
+
+    res_up = B.run_staged(B.stage_rows_upload(upload_pairs), **kwargs)
+    res_dev = B.run_staged(B.stage_rows_device(device_pairs), **kwargs)
+    for (a_up, s_up), (a_dev, s_dev) in zip(res_up, res_dev):
+        assert a_up == a_dev
+        np.testing.assert_array_equal(np.asarray(s_up), np.asarray(s_dev))
+
+
+def test_fused_align_cli_bit_identical(example_dir, tmp_path):
+    """align with cache-fed device rows == align from the .embed files,
+    over the committed example (simulating the embed stage's handoff)."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.utils import embed_cache
+    from svecalign_tpu.utils.embedding_utils import load_sent_embeddings
+
+    common = [
+        "--src_lang", "en", "--tgt_lang", "de",
+        "--seg_dir", str(example_dir / "segments"),
+        "--concat_dir", str(example_dir / "cat_segs"),
+        "--embed_dir", str(example_dir / "embeds"),
+        "--is_stopes_embed",
+        "--ign_indices_dir", str(example_dir / "untrans_cat_seg_ids"),
+        "--pair_batch", "4",
+    ]
+
+    meta = str(example_dir / "metadata.tsv")
+    out_file = tmp_path / "file_path"
+    _invoke("svecalign_tpu.seg_align.align", meta, str(out_file), *common)
+
+    embed_cache.enable(rows=4096)
+    for lang in ("en", "de"):
+        path = example_dir / f"embeds/{lang}/{STEM}_{lang}.embed"
+        rows = load_sent_embeddings(str(path), use_stopes=True).astype(np.float16)
+        padded = np.zeros((4096, rows.shape[1]), np.float16)
+        padded[: rows.shape[0]] = rows
+        embed_cache.put(path, rows.shape[0], jnp.asarray(padded))
+
+    out_fused = tmp_path / "fused"
+    _invoke("svecalign_tpu.seg_align.align", meta, str(out_fused), *common)
+    assert embed_cache.stats["hit"] >= 2  # the fused path actually ran
+
+    got = (out_fused / "en-de" / f"{PAIR}.txt").read_text()
+    want = (out_file / "en-de" / f"{PAIR}.txt").read_text()
+    assert got == want
