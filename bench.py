@@ -337,7 +337,10 @@ def run_encoder(n_iters: int = 10):
 
 def run_knn(n_iters: int = 5):
     """Exact kNN q/s over a device-resident corpus (the score_align hot
-    op): 256k x 1024 fp16 corpus, 4096-query batches, k=16."""
+    op): 256k x 1024 fp16 corpus, 4096-query batches, k=16. The search
+    pulls results to host every call, so the loop is properly synced; the
+    fp32 number includes the 16 MB/batch query upload (the production
+    default), the fp16 number is --query_upload fp16 (half the bytes)."""
     import jax
 
     from svecalign_tpu.ops.topk import FlatIndex
@@ -348,14 +351,18 @@ def run_knn(n_iters: int = 5):
     queries = rng.standard_normal((nq, d)).astype(np.float32)
     idx = FlatIndex(dim=d)
     idx.add(corpus)
-    idx.search(queries, k)  # compile + corpus upload + cache
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        idx.search(queries, k)
-    dt = (time.perf_counter() - t0) / n_iters
-    qps = nq / dt
+
+    def timed(upload):
+        idx.search(queries, k, upload_dtype=upload)  # compile/upload/cache
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            idx.search(queries, k, upload_dtype=upload)
+        return nq / ((time.perf_counter() - t0) / n_iters)
+
+    qps = timed("float32")
+    qps16 = timed("float16")
     tflops = qps * 2 * n * d / 1e12
-    return qps, tflops
+    return qps, qps16, tflops
 
 
 def main():
@@ -373,7 +380,7 @@ def main():
     fused = run_fused()
     baseline = run_oracle_baseline(stack, v0, v1)
     enc_tokens, enc_mfu, enc_rtf = run_encoder()
-    knn_qps, knn_tflops = run_knn()
+    knn_qps, knn_qps16, knn_tflops = run_knn()
 
     # DP cells/sec: total banded cells (types x A x B) + dense cells, per second
     cells = 0
@@ -409,6 +416,7 @@ def main():
         "encoder_mfu_pct": round(100 * enc_mfu, 2),
         "encoder_audio_rtf": round(enc_rtf, 1),
         "knn_queries_per_sec": round(knn_qps, 1),
+        "knn_fp16_upload_queries_per_sec": round(knn_qps16, 1),
         "knn_tflops": round(knn_tflops, 2),
         "device": str(jax.devices()[0]),
     }

@@ -32,6 +32,7 @@ def normalize_l2(x: np.ndarray) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("k",))
 def _search_dense(queries: Array, corpus: Array, corpus_sq: Array, k: int):
+    queries = queries.astype(jnp.float32)  # fp16 query uploads upcast here
     sims = jnp.dot(
         queries,
         corpus.T.astype(jnp.float32),
@@ -53,6 +54,7 @@ def _search_dense_tiled(queries: Array, corpus: Array, corpus_sq: Array, k: int,
     on padding rows.
     """
     n_blocks = corpus.shape[0] // block
+    queries = queries.astype(jnp.float32)  # fp16 query uploads upcast here
     q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
     nq = queries.shape[0]
 
@@ -92,8 +94,11 @@ class FlatIndex:
     shaped (n_queries, k) — the faiss IndexFlatL2 contract.
     """
 
-    def __init__(self, dim: int = 1024):
+    def __init__(self, dim: int = 1024, query_upload: str = "float32"):
         self.dim = dim
+        # "float16" halves query staging bytes over the tunnel (~1e-3
+        # relative distance noise); opt-in via score_align --query_upload
+        self.query_upload = query_upload
         self._chunks = []
         self._device_cache = None  # (corpus, corpus_sq) on device
         self._fp16_exact = True  # all added vectors round-trip through fp16
@@ -146,8 +151,17 @@ class FlatIndex:
             self._device_cache = (jnp.asarray(corpus), jnp.asarray(corpus_sq))
         return self._device_cache
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        queries = jnp.asarray(queries, dtype=jnp.float32)
+    def search(
+        self, queries: np.ndarray, k: int, upload_dtype: str = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """``upload_dtype="float16"`` (or ``query_upload`` at construction)
+        stages the queries over the (tunnel-limited) host->device link at
+        half the bytes; the kernel upcasts on device. ~1e-3 relative noise
+        on the distances — opt-in via score_align --query_upload fp16."""
+        if (upload_dtype or self.query_upload) == "float16":
+            queries = jnp.asarray(np.asarray(queries).astype(np.float16))
+        else:
+            queries = jnp.asarray(queries, dtype=jnp.float32)
         k_eff = min(k, self.ntotal)
         tiled = self.ntotal * queries.shape[0] > self.TILE_THRESHOLD
         corpus, corpus_sq = self._device_corpus(tiled)
@@ -200,6 +214,7 @@ def sharded_search(
     mesh: Optional[Mesh] = None,
     axis: str = "data",
     prepared=None,
+    query_upload: str = "float32",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact k-NN with the corpus sharded row-wise across a device mesh.
 
@@ -216,7 +231,13 @@ def sharded_search(
     mesh, corpus_j, valid_j = prepared
     n_dev = mesh.devices.size
 
-    queries = jnp.asarray(queries, dtype=jnp.float32)
+    if query_upload == "float16":
+        # half the staging bytes; the shard-local matmul upcasts exactly
+        queries = jnp.asarray(np.asarray(queries).astype(np.float16)).astype(
+            jnp.float32
+        )
+    else:
+        queries = jnp.asarray(queries, dtype=jnp.float32)
 
     per_shard = corpus_j.shape[0] // n_dev
     kk = min(k, per_shard)
@@ -263,9 +284,15 @@ class ShardedFlatIndex:
     Same ``search`` contract as :class:`FlatIndex`; use for corpora that
     exceed one chip's HBM (the TPU analog of faiss fp16-shard)."""
 
-    def __init__(self, corpus: np.ndarray, mesh: Optional[Mesh] = None):
+    def __init__(
+        self,
+        corpus: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        query_upload: str = "float32",
+    ):
         self.corpus = np.asarray(corpus, dtype=np.float32)
         self.dim = self.corpus.shape[1]
+        self.query_upload = query_upload
         # fp16 device shards when lossless (half the upload + HBM)
         dev = self.corpus
         if np.array_equal(dev, dev.astype(np.float16).astype(np.float32)):
@@ -278,7 +305,8 @@ class ShardedFlatIndex:
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         return sharded_search(
-            queries, self.corpus, min(k, self.ntotal), prepared=self._prepared
+            queries, self.corpus, min(k, self.ntotal),
+            prepared=self._prepared, query_upload=self.query_upload,
         )
 
 
@@ -390,10 +418,19 @@ class IVFIndex:
     # dispatch: use the device path for query batches at least this large
     DEVICE_MIN_QUERIES = 256
 
-    def __init__(self, dim: int = 1024, nlist: int = 1024, nprobe: int = 128):
+    def __init__(
+        self,
+        dim: int = 1024,
+        nlist: int = 1024,
+        nprobe: int = 128,
+        query_upload: str = "float32",
+    ):
         self.dim = dim
         self.nlist = nlist
         self.nprobe = nprobe
+        # "float16" halves the query staging bytes over the tunnel (~1e-3
+        # relative distance noise); opt-in from score_align --query_upload
+        self.query_upload = query_upload
         self.centroids: Optional[np.ndarray] = None
         self._vectors = np.zeros((0, dim), dtype=np.float32)
         self._assignments = np.zeros((0,), dtype=np.int64)
@@ -489,7 +526,11 @@ class IVFIndex:
             m = q.shape[0]
             if m < chunk:
                 q = np.pad(q, ((0, chunk - m), (0, 0)))
-            qj = jnp.asarray(q)
+            if self.query_upload == "float16":
+                # half the tunnel bytes; the probe/search jits upcast
+                qj = jnp.asarray(q.astype(np.float16)).astype(jnp.float32)
+            else:
+                qj = jnp.asarray(q)
             probe_mask, block_needed, count = _ivf_probe_and_blocks(
                 qj, st["centroids"], st["row_list"], nprobe, bs
             )

@@ -49,6 +49,11 @@ def parse_args():
     parser.add_argument("--margin", type=str, default="ratio",
                         help="Margin for xSIM calculation: ratio or distance.")
     parser.add_argument("--k", type=int, default=16, help="number of nearest neighbors.")
+    parser.add_argument("--query_upload", type=str, default="fp32",
+                        choices=["fp32", "fp16"],
+                        help="query host->device staging precision: fp16 "
+                             "halves the bytes over the tunnel (~1e-3 "
+                             "relative margin noise); fp32 is exact.")
     parser.add_argument("--sharded_index", action="store_true", default=False,
                         help="shard the corpus row-wise across all devices "
                              "(for corpora exceeding one chip's HBM).")
@@ -143,6 +148,9 @@ def main():
     src_index = load_index(src_index_path, nprobe=args.num_probe)
     logger.info(f"Loading {tgt_index_path}")
     tgt_index = load_index(tgt_index_path, nprobe=args.num_probe)
+    if args.query_upload == "fp16":
+        src_index.query_upload = tgt_index.query_upload = "float16"
+        logger.info("Queries stage to device as fp16 (half the tunnel bytes)")
 
     if args.sharded_index:
         from svecalign_tpu.ops.topk import FlatIndex, ShardedFlatIndex
@@ -150,8 +158,8 @@ def main():
         assert isinstance(src_index, FlatIndex) and isinstance(tgt_index, FlatIndex), (
             "--sharded_index applies to Flat indexes"
         )
-        src_index = ShardedFlatIndex(src_index.corpus)
-        tgt_index = ShardedFlatIndex(tgt_index.corpus)
+        src_index = ShardedFlatIndex(src_index.corpus, query_upload=src_index.query_upload)
+        tgt_index = ShardedFlatIndex(tgt_index.corpus, query_upload=tgt_index.query_upload)
         logger.info("Sharding corpora across the device mesh")
 
     # batch the queries of many pairs into large chunks: margin scoring is

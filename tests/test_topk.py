@@ -352,3 +352,24 @@ def test_tiled_search_matches_dense(monkeypatch):
     np.testing.assert_allclose(d_got, d_ref, rtol=1e-4, atol=1e-5)
     for r in range(33):
         assert set(i_got[r]) == set(i_ref[r])
+
+
+def test_fp16_query_upload_close_to_fp32():
+    """--query_upload fp16 (half the tunnel bytes): distances within fp16
+    input rounding of the exact path, neighbor sets essentially identical."""
+    rng = np.random.default_rng(9)
+    corpus = _random_corpus(rng, 500)
+    queries = _random_corpus(rng, 40)
+    idx = FlatIndex(dim=64)
+    idx.add(corpus)
+    d32, i32 = idx.search(queries, 8)
+    d16, i16 = idx.search(queries, 8, upload_dtype="float16")
+    np.testing.assert_allclose(d16, d32, rtol=5e-3, atol=5e-3)
+    agree = np.mean([len(set(i16[r]) & set(i32[r])) / 8 for r in range(40)])
+    assert agree >= 0.95, agree
+
+    # constructor attribute drives the same path
+    idx2 = FlatIndex(dim=64, query_upload="float16")
+    idx2.add(corpus)
+    d16b, _ = idx2.search(queries, 8)
+    np.testing.assert_array_equal(d16b, d16)
