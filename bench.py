@@ -335,6 +335,61 @@ def run_encoder(n_iters: int = 10):
     return tokens_per_sec, mfu, audio_rtf
 
 
+def run_sonar(n_iters: int = 4):
+    """Device time of the second embedder (SONAR w2v-BERT conformer trunk),
+    scan-slope measured like run_encoder: 20 s bucket (2000 fbank frames ->
+    1000 stacked tokens), 8 rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from svecalign_tpu.models.sonar_encoder import SonarSpeechModel
+
+    model = SonarSpeechModel(batch_size=8)
+    bucket = 2000  # 10 ms frames pre-stack
+    samples = 400 + (bucket - 1) * 160
+    rows = model.batch_size
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal((rows, samples)) * 8000).astype(np.int16)
+    wav_d = jax.device_put(jnp.asarray(wav))
+    scales = jax.device_put(jnp.full((rows,), 1.0 / 32767.0, jnp.float32))
+    lengths = jax.device_put(jnp.full((rows,), bucket, jnp.int32))
+
+    def make_chained(n):
+        @jax.jit
+        def chained(params, w, s, lengths):
+            def body(c, _):
+                emb = model._forward.__wrapped__(params, w, s, lengths + c, bucket)
+                return jnp.int32(jnp.sum(emb)) % 2, None
+            c, _ = jax.lax.scan(body, jnp.int32(0), None, length=n)
+            return c
+
+        return chained
+
+    def timed(n):
+        fn = make_chained(n)
+        np.asarray(fn(model.params, wav_d, scales, lengths))
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(fn(model.params, wav_d, scales, lengths))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(2 * n_iters) - timed(n_iters)) / n_iters
+
+    cfg = model.config
+    d, ffn, t = cfg.model_dim, cfg.ffn_dim, bucket // 2
+    # conformer block: 2 macaron FFNs + attention qkvo + rel-pos attention
+    # matmuls + conv module (pointwise GLU + depthwise + pointwise)
+    per_token = cfg.n_layers * (
+        8 * d * ffn + 8 * d * d + 6 * t * d + 6 * d * d + 62 * d
+    )
+    flops = rows * t * (per_token + 2 * (2 * cfg.n_mels) * d)  # + projection
+    tokens_per_sec = rows * t / dt
+    mfu = flops / dt / _peak_flops()
+    return tokens_per_sec, mfu
+
+
 def run_knn(n_iters: int = 5):
     """Exact kNN q/s over a device-resident corpus (the score_align hot
     op): 256k x 1024 fp16 corpus, 4096-query batches, k=16. The search
@@ -380,6 +435,7 @@ def main():
     fused = run_fused()
     baseline = run_oracle_baseline(stack, v0, v1)
     enc_tokens, enc_mfu, enc_rtf = run_encoder()
+    sonar_tokens, sonar_mfu = run_sonar()
     knn_qps, knn_qps16, knn_tflops = run_knn()
 
     # DP cells/sec: total banded cells (types x A x B) + dense cells, per second
@@ -415,6 +471,8 @@ def main():
         "encoder_tokens_per_sec": round(enc_tokens, 1),
         "encoder_mfu_pct": round(100 * enc_mfu, 2),
         "encoder_audio_rtf": round(enc_rtf, 1),
+        "sonar_tokens_per_sec": round(sonar_tokens, 1),
+        "sonar_mfu_pct": round(100 * sonar_mfu, 2),
         "knn_queries_per_sec": round(knn_qps, 1),
         "knn_fp16_upload_queries_per_sec": round(knn_qps16, 1),
         "knn_tflops": round(knn_tflops, 2),
