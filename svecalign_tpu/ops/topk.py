@@ -30,6 +30,27 @@ def normalize_l2(x: np.ndarray) -> np.ndarray:
     return x / np.where(norms == 0, 1.0, norms)
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _normalize_corpus(rows: Array, n: int):
+    """fp16 gathered rows -> (fp32 L2-normalized corpus, corpus_sq) with
+    inf corpus_sq on padding rows (device side of FlatIndex.set_device_corpus)."""
+    x = rows.astype(jnp.float32)
+    norms = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+    x = x / jnp.where(norms == 0, 1.0, norms)
+    valid = jnp.arange(x.shape[0]) < n
+    sq = jnp.where(valid, jnp.sum(x * x, axis=1), jnp.inf)
+    return jnp.where(valid[:, None], x, 0.0), sq
+
+
+@partial(jax.jit, static_argnames=())
+def normalize_rows_device(rows: Array):
+    """Device-side L2 normalization (fp32), same zero-row convention as
+    :func:`normalize_l2`; used on fused-pipeline query rows."""
+    x = rows.astype(jnp.float32)
+    norms = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+    return x / jnp.where(norms == 0, 1.0, norms)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _search_dense(queries: Array, corpus: Array, corpus_sq: Array, k: int):
     queries = queries.astype(jnp.float32)  # fp16 query uploads upcast here
@@ -151,18 +172,21 @@ class FlatIndex:
             self._device_cache = (jnp.asarray(corpus), jnp.asarray(corpus_sq))
         return self._device_cache
 
-    def search(
-        self, queries: np.ndarray, k: int, upload_dtype: str = None
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """``upload_dtype="float16"`` (or ``query_upload`` at construction)
-        stages the queries over the (tunnel-limited) host->device link at
-        half the bytes; the kernel upcasts on device. ~1e-3 relative noise
-        on the distances — opt-in via score_align --query_upload fp16."""
-        if (upload_dtype or self.query_upload) == "float16":
-            queries = jnp.asarray(np.asarray(queries).astype(np.float16))
-        else:
-            queries = jnp.asarray(queries, dtype=jnp.float32)
-        k_eff = min(k, self.ntotal)
+    def set_device_corpus(self, rows_fp16, n_valid: int) -> None:
+        """Install a device-assembled corpus (fused pipeline, no upload).
+
+        ``rows_fp16`` is an (n_padded, dim) fp16 device array of UNnormalized
+        embedding rows gathered from ``utils/embed_cache.py`` (n_padded a
+        multiple of ``BLOCK``); L2 normalization happens on device, padding
+        rows get ``corpus_sq = inf`` so they never win a top-k. Distances
+        then match the host upload path up to fp32 summation order in the
+        norms (~1e-7 relative)."""
+        assert rows_fp16.shape[0] % self.BLOCK == 0, rows_fp16.shape
+        assert n_valid == self.ntotal, (n_valid, self.ntotal)
+        self._device_cache = _normalize_corpus(rows_fp16, n_valid)
+
+    def _search_core(self, queries, k_eff: int):
+        """Shared search over device-resident queries -> device (d2, idx)."""
         tiled = self.ntotal * queries.shape[0] > self.TILE_THRESHOLD
         corpus, corpus_sq = self._device_corpus(tiled)
         if not tiled and corpus.shape[0] != self.ntotal:
@@ -172,9 +196,35 @@ class FlatIndex:
             self._device_cache = None  # rebuild with padding
             corpus, corpus_sq = self._device_corpus(True)
         if tiled:
-            d2, idx = _search_dense_tiled(queries, corpus, corpus_sq, k_eff, self.BLOCK)
+            return _search_dense_tiled(queries, corpus, corpus_sq, k_eff, self.BLOCK)
+        return _search_dense(queries, corpus, corpus_sq, k_eff)
+
+    def search_device_queries(self, queries, k: int):
+        """Device-to-device search: ``queries`` is an (nq, dim) device array
+        (any float dtype; upcast in-kernel) and the (d2, idx) results stay
+        on device — nothing crosses the host boundary. Requires
+        ``ntotal >= k`` (no column padding on this path). Distinct from
+        ``IVFIndex.search_device``, which stages HOST queries but searches
+        on device."""
+        assert self.ntotal >= k, (self.ntotal, k)
+        return self._search_core(queries, k)
+
+    def search(
+        self, queries: np.ndarray, k: int, upload_dtype: str = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """``upload_dtype="float16"`` (or ``query_upload`` at construction)
+        stages the queries over the (tunnel-limited) host->device link at
+        half the bytes; the kernel upcasts on device. ~1e-3 relative noise
+        on the distances — opt-in via score_align --query_upload fp16.
+        Device-array queries pass through with no staging conversion."""
+        if isinstance(queries, jnp.ndarray) and not isinstance(queries, np.ndarray):
+            pass  # already on device: use as-is (fused pipeline path)
+        elif (upload_dtype or self.query_upload) == "float16":
+            queries = jnp.asarray(np.asarray(queries).astype(np.float16))
         else:
-            d2, idx = _search_dense(queries, corpus, corpus_sq, k_eff)
+            queries = jnp.asarray(queries, dtype=jnp.float32)
+        k_eff = min(k, self.ntotal)
+        d2, idx = self._search_core(queries, k_eff)
         d2, idx = np.asarray(d2), np.asarray(idx)
         if k_eff < k:
             # faiss IndexFlatL2 always returns (nq, k): missing neighbors

@@ -154,8 +154,10 @@ def main():
                 "--seg_dir", seg, "--concat_dir", cat, "--embed_dir", emb,
                 "--is_stopes_embed", "-a", str(args.alignment_max_size),
                 "--ign_indices_dir", uncats, "--pair_batch", str(args.pair_batch))
-    if args.fused:
-        # the align stage was the only consumer; free the HBM
+    if args.fused and not ({"embed_align", "prep_index", "score_align"} & set(stages)):
+        # no downstream consumer left (embed_align reuses the cached overlap
+        # rows; prep_index/score_align resolve corpus/queries against the
+        # cache): free the HBM right after the align stage
         from svecalign_tpu.utils import embed_cache
 
         embed_cache.clear()
@@ -206,6 +208,11 @@ def main():
         _invoke("svecalign_tpu.postprocess.sort_tsv",
                 "--in_tsv", f"{ali_tsv}/{sl}-{tl}/align.rm_overlap.tsv.gz",
                 "--out_tsv", f"{ali_tsv}/{sl}-{tl}/align.rm_overlap.sort.tsv.gz")
+    if args.fused:
+        from svecalign_tpu.utils import embed_cache
+
+        logger.info(f"embed_cache stats: {embed_cache.stats}")
+        embed_cache.clear()
     logger.info("Pipeline finished!")
 
 

@@ -170,6 +170,7 @@ def main():
                 miss_segments,
                 str(tmp_embed),
                 fp16=not args.embed_fp32,
+                cache_key=str(embed_out_path),
             )
             tmp_embed.replace(embed_out_path)
 

@@ -76,6 +76,17 @@ def find_embed_files(
     return res
 
 
+def parse_embed_tsv_entries(tsv_path: Path):
+    """The raw [(embed_path, row_id), ...] of a pointer tsv in line order
+    (the fused pipeline resolves these against the device embed cache)."""
+    entries = []
+    with open(tsv_path) as fp:
+        for line in fp:
+            path, _id = line.strip().split("\t")
+            entries.append((path, int(_id)))
+    return entries
+
+
 def load_embed_from_tsv(
     tsv_path: Path, fp16_embed: bool, use_stopes: bool
 ) -> np.ndarray:
@@ -185,6 +196,30 @@ def main():
         write_flat_index(index.corpus, populate_path)
     else:
         write_ivf_index(index, populate_path)
+
+    # fused pipeline: assemble the same corpus ON DEVICE from the embedding
+    # rows the embed stages left in the device cache (the file above stays
+    # the durable copy), and hand the live index to score_align — the
+    # corpus never re-crosses the tunnel (utils/embed_cache.py).
+    from svecalign_tpu.utils import embed_cache
+
+    if embed_cache.enabled:
+        if index_type == "Flat" and index.ntotal:
+            entries = []
+            for path in embed_paths:
+                entries.extend(parse_embed_tsv_entries(path))
+            gathered = embed_cache.gather_rows_device(
+                entries, pad_multiple=FlatIndex.BLOCK
+            )
+            if gathered is not None:
+                index.set_device_corpus(*gathered)
+                logger.info(
+                    f"Device-resident corpus installed ({gathered[1]} rows, "
+                    "no upload)"
+                )
+            else:
+                logger.info("Embed cache incomplete; corpus uploads lazily")
+        embed_cache.register_index(populate_path, index)
     logger.info("Finished!")
 
 

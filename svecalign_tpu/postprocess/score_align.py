@@ -19,7 +19,10 @@ from typing import List, Tuple
 import numpy as np
 
 from svecalign_tpu.ops.topk import normalize_l2
-from svecalign_tpu.postprocess.prep_index import load_embed_from_tsv
+from svecalign_tpu.postprocess.prep_index import (
+    load_embed_from_tsv,
+    parse_embed_tsv_entries,
+)
 from svecalign_tpu.utils.file_utils import read_alignments, read_metadata
 from svecalign_tpu.utils.index_utils import load_index
 from svecalign_tpu.utils.log_utils import logging, my_tqdm
@@ -122,6 +125,48 @@ def compute_margin(
     raise ValueError(f"Wrong margin type: {margin}")
 
 
+def _margin_device_fn():
+    """Jitted margin over device-resident normalized queries + kNN results
+    (created lazily so the module imports without jax)."""
+    global _margin_device_cached
+    if _margin_device_cached is None:
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("margin",))
+        def margin_fn(qx, qy, l2_xy, l2_yx, margin):
+            avg_xy = (2.0 - jnp.mean(l2_xy, axis=1)) / 2.0
+            avg_yx = (2.0 - jnp.mean(l2_yx, axis=1)) / 2.0
+            a = jnp.einsum("nd,nd->n", qx, qy)
+            b = (avg_xy + avg_yx) / 2.0
+            return a / b if margin == "ratio" else a - b
+
+        _margin_device_cached = margin_fn
+    return _margin_device_cached
+
+
+_margin_device_cached = None
+
+
+def compute_margin_device(idx_x, idx_y, qx, qy, n: int, k: int, margin: str) -> np.ndarray:
+    """Fused-pipeline margin: ``qx``/``qy`` are (n_padded, dim) fp16 device
+    rows straight from the embed cache gather — normalization, both kNN
+    searches and the margin formula all run on device; only the final (n,)
+    float32 margins cross to the host. Equals :func:`compute_margin` up to
+    fp32 summation order (~1e-6 relative)."""
+    from svecalign_tpu.ops.topk import normalize_rows_device
+
+    assert margin in ("ratio", "distance"), f"Wrong margin type: {margin}"
+    qx = normalize_rows_device(qx)
+    qy = normalize_rows_device(qy)
+    l2_xy, _ = idx_y.search_device_queries(qx, k)
+    l2_yx, _ = idx_x.search_device_queries(qy, k)
+    m = _margin_device_fn()(qx, qy, l2_xy, l2_yx, margin)
+    return np.asarray(m)[:n].astype(np.float32)
+
+
 def main():
     args = parse_args()
     logger.info(args)
@@ -167,31 +212,70 @@ def main():
     # direction instead of one per pair
     CHUNK_ROWS = 65536
     margin_scores = []
-    buf_src, buf_tgt, buf_rows = [], [], 0
+    buf_ids, buf_rows = [], 0
 
-    def flush():
-        nonlocal buf_src, buf_tgt, buf_rows
-        if not buf_src:
-            return
+    # fused pipeline: when the embed stages left the rows in the device
+    # cache and the indexes support device-resident queries, each chunk is
+    # resolved by one on-device gather per side — no query upload at all
+    from svecalign_tpu.ops.topk import FlatIndex
+    from svecalign_tpu.utils import embed_cache
+
+    use_device = (
+        embed_cache.enabled
+        and isinstance(src_index, FlatIndex)
+        and isinstance(tgt_index, FlatIndex)
+        and min(src_index.ntotal, tgt_index.ntotal) >= args.k
+    )
+    if use_device:
+        logger.info("Fused mode: resolving queries from the device embed cache")
+
+    def flush_device(ids) -> bool:
+        src_entries, tgt_entries = [], []
+        for align_id in ids:
+            src_entries.extend(parse_embed_tsv_entries(embed_dir / f"{align_id}.src.tsv"))
+            tgt_entries.extend(parse_embed_tsv_entries(embed_dir / f"{align_id}.tgt.tsv"))
+        gs = embed_cache.gather_rows_device(src_entries)
+        gt = embed_cache.gather_rows_device(tgt_entries)
+        if gs is None or gt is None:
+            return False
+        assert gs[1] == gt[1], (gs[1], gt[1])
+        margin_scores.append(
+            compute_margin_device(
+                src_index, tgt_index, gs[0], gt[0], gs[1], args.k, args.margin
+            )
+        )
+        return True
+
+    def flush_host(ids) -> None:
+        buf_src, buf_tgt = [], []
+        for align_id in ids:
+            buf_src.append(load_embed_from_tsv(
+                embed_dir / f"{align_id}.src.tsv",
+                fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
+            ))
+            buf_tgt.append(load_embed_from_tsv(
+                embed_dir / f"{align_id}.tgt.tsv",
+                fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
+            ))
         src = np.concatenate(buf_src, axis=0)
         tgt = np.concatenate(buf_tgt, axis=0)
         margin_scores.append(
             compute_margin(src_index, tgt_index, src, tgt, args.k, args.margin)
         )
-        buf_src, buf_tgt, buf_rows = [], [], 0
+
+    def flush():
+        nonlocal buf_ids, buf_rows
+        if not buf_ids:
+            return
+        if not (use_device and flush_device(buf_ids)):
+            flush_host(buf_ids)
+        buf_ids, buf_rows = [], 0
 
     for align_id in my_tqdm(metas):
-        src_embed = load_embed_from_tsv(
-            embed_dir / f"{align_id}.src.tsv",
-            fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
-        )
-        tgt_embed = load_embed_from_tsv(
-            embed_dir / f"{align_id}.tgt.tsv",
-            fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
-        )
-        buf_src.append(src_embed)
-        buf_tgt.append(tgt_embed)
-        buf_rows += src_embed.shape[0]
+        with open(embed_dir / f"{align_id}.src.tsv") as fp:
+            n_rows = sum(1 for _ in fp)
+        buf_ids.append(align_id)
+        buf_rows += n_rows
         if buf_rows >= CHUNK_ROWS:
             flush()
     flush()

@@ -24,7 +24,7 @@ Enabled by ``python -m svecalign_tpu.pipeline ... --fused`` (or calling
 """
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from svecalign_tpu.utils.log_utils import logging
 
@@ -36,7 +36,15 @@ max_bytes: int = 4 << 30
 
 _cache: Dict[str, Tuple[int, object]] = {}
 _bytes: int = 0
-stats = {"put": 0, "rejected": 0, "hit": 0, "miss": 0}
+# (path -> slot map, (n_files, max_rows, dim) device stack); built lazily by
+# gather_rows_device, invalidated on put/clear. The stack duplicates the
+# cached bytes on device (both are bounded by max_bytes).
+_stack = None
+# live index objects handed from prep_index to score_align in a fused run
+# (the .populate.idx file is still written; this skips the re-read+re-upload)
+_index_registry: Dict[str, object] = {}
+stats = {"put": 0, "rejected": 0, "hit": 0, "miss": 0, "gather": 0,
+         "gather_miss": 0}
 
 
 def _key(path) -> str:
@@ -59,9 +67,11 @@ def disable() -> None:
 
 def clear() -> None:
     """Drop every cached device buffer (frees HBM once consumers release)."""
-    global _bytes
+    global _bytes, _stack
     _cache.clear()
+    _index_registry.clear()
     _bytes = 0
+    _stack = None
 
 
 def put(path, n_rows: int, device_rows) -> None:
@@ -75,8 +85,10 @@ def put(path, n_rows: int, device_rows) -> None:
     if _bytes + nbytes > max_bytes:
         stats["rejected"] += 1
         return
+    global _stack
     _cache[_key(path)] = (n_rows, device_rows)
     _bytes += nbytes
+    _stack = None
     stats["put"] += 1
 
 
@@ -87,3 +99,104 @@ def get(path) -> Optional[Tuple[int, object]]:
     entry = _cache.get(_key(path))
     stats["hit" if entry is not None else "miss"] += 1
     return entry
+
+
+def _ensure_stack():
+    """(path -> slot, (n_files, max_rows, dim) fp16 device stack) or None.
+
+    One device-side stack of every cached document; built once, reused by
+    every gather until the cache changes. None when the cache is empty or
+    the entries disagree on shape/dtype (different encoders in one run)."""
+    global _stack
+    if _stack is not None:
+        return _stack
+    if not _cache:
+        return None
+    import jax.numpy as jnp
+
+    paths = sorted(_cache)
+    arrays = [_cache[p][1] for p in paths]
+    shape, dtype = arrays[0].shape, arrays[0].dtype
+    if any(a.shape != shape or a.dtype != dtype for a in arrays):
+        logger.warning("embed_cache: mixed entry shapes; device gather off")
+        return None
+    _stack = ({p: i for i, p in enumerate(paths)}, jnp.stack(arrays))
+    return _stack
+
+
+def gather_rows_device(
+    entries: Sequence[Tuple[object, int]], pad_multiple: int = 1024
+):
+    """Assemble embedding rows ON DEVICE from the cached documents.
+
+    ``entries`` is an ordered [(embed_path, row_id), ...] — exactly the
+    content of an embed-pointer tsv (reference score_align.py /
+    prep_index.py read these from disk and re-upload; here only one int32
+    index array crosses the tunnel). Returns ``(rows, n)`` where ``rows``
+    is an (n_padded, dim) fp16 device array whose first ``n`` rows are the
+    requested embeddings (padding rows are zero), or None when any
+    referenced document is not cached (callers fall back to the file
+    path). ``n_padded`` is ``n`` rounded up to ``pad_multiple`` so the
+    downstream programs compile once per bucket, not per call.
+    """
+    if not enabled or not entries:
+        return None
+    stack = _ensure_stack()
+    if stack is None:
+        stats["gather_miss"] += 1
+        return None
+    slot_of, dev_stack = stack
+    n_files, rows_per, _ = dev_stack.shape
+    flat = []
+    for path, row_id in entries:
+        slot = slot_of.get(_key(path))
+        if slot is None or not 0 <= row_id < rows_per:
+            stats["gather_miss"] += 1
+            return None
+        flat.append(slot * rows_per + row_id)
+    import numpy as np
+
+    n = len(flat)
+    n_pad = -(-n // pad_multiple) * pad_multiple
+    # padding points at row 0 of file 0; padded outputs are zeroed on device
+    idx = np.zeros((n_pad,), dtype=np.int32)
+    idx[:n] = flat
+    import jax.numpy as jnp
+
+    rows = _gather_fn()(dev_stack, jnp.asarray(idx), n)
+    stats["gather"] += 1
+    return rows, n
+
+
+_gather_cached = None
+
+
+def _gather_fn():
+    """The jitted row gather, created once (keeps jax import lazy)."""
+    global _gather_cached
+    if _gather_cached is None:
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("n",))
+        def gather(stack, idx, n):
+            flat = stack.reshape(-1, stack.shape[-1])
+            rows = flat[idx]
+            valid = jnp.arange(idx.shape[0]) < n
+            return jnp.where(valid[:, None], rows, jnp.zeros((), rows.dtype))
+
+        _gather_cached = gather
+    return _gather_cached
+
+
+def register_index(path, index) -> None:
+    """Hand a live, device-resident index from prep_index to score_align
+    (same process; the on-disk .populate.idx remains the durable copy)."""
+    if enabled:
+        _index_registry[_key(path)] = index
+
+
+def get_index(path):
+    return _index_registry.get(_key(path)) if enabled else None

@@ -216,7 +216,18 @@ def read_ivf_index(path: Union[str, Path], nprobe: int = 128) -> IVFIndex:
 def load_index(
     path: Union[str, Path], index_type: str = "Flat", nprobe: int = 128
 ) -> Union[FlatIndex, IVFIndex]:
-    """Load a populated index file, auto-detecting the container."""
+    """Load a populated index file, auto-detecting the container.
+
+    In a fused pipeline run the live index prep_index just built (with its
+    device-resident corpus) is returned directly instead of re-reading and
+    re-uploading the file (utils/embed_cache.py registry)."""
+    from svecalign_tpu.utils import embed_cache
+
+    registered = embed_cache.get_index(path)
+    if registered is not None:
+        if hasattr(registered, "nprobe"):
+            registered.nprobe = nprobe
+        return registered
     path = str(path)
     with open(path, "rb") as fp:
         head = fp.read(4)

@@ -139,3 +139,130 @@ def test_fused_align_cli_bit_identical(example_dir, tmp_path):
     got = (out_fused / "en-de" / f"{PAIR}.txt").read_text()
     want = (out_file / "en-de" / f"{PAIR}.txt").read_text()
     assert got == want
+
+
+def _write_mining_fixture(tmp_path, rng, d=16, pairs=(("A_en", "A_de", 5), ("B_en", "B_de", 7))):
+    """Synthetic post-align mining inputs: per-pair embed files, pointer
+    tsvs (with cross-file reuse rows), align files and a metadata tsv —
+    the exact on-disk contract prep_index/score_align consume."""
+    from svecalign_tpu.utils.embedding_utils import write_stopes_embedding
+
+    embed_root = tmp_path / "embeds" / "en-de"
+    align_root = tmp_path / "aligns" / "en-de"
+    embed_root.mkdir(parents=True)
+    align_root.mkdir(parents=True)
+    meta_lines = []
+    embed_files = {}
+    for src_stem, tgt_stem, n in pairs:
+        pid = f"{src_stem}-{tgt_stem}"
+        meta_lines.append(f"/audio/{src_stem}.ogg\t/audio/{tgt_stem}.ogg\n")
+        for side, stem in (("src", src_stem), ("tgt", tgt_stem)):
+            # two embed files per side: "fresh" rows + a "reuse" pool, so
+            # the pointer tsv spans multiple files like a real embed_align run
+            fresh = embed_root / f"{pid}.{side}.embed"
+            pool = embed_root / f"{stem}.pool.embed"
+            fresh_rows = rng.standard_normal((n, d)).astype(np.float16).astype(np.float32)
+            pool_rows = rng.standard_normal((n + 2, d)).astype(np.float16).astype(np.float32)
+            write_stopes_embedding(fresh_rows, str(fresh), fp16=True)
+            write_stopes_embedding(pool_rows, str(pool), fp16=True)
+            embed_files[str(fresh)] = fresh_rows
+            embed_files[str(pool)] = pool_rows
+            with open(embed_root / f"{pid}.{side}.tsv", "w") as fp:
+                for i in range(n):
+                    if i % 2:
+                        fp.write(f"{pool.as_posix()}\t{i + 1}\n")
+                    else:
+                        fp.write(f"{fresh.as_posix()}\t{i}\n")
+        with open(align_root / f"{pid}.txt", "w") as fp:
+            for i in range(n):
+                fp.write(f"[{i}]:[{i}]:0.1\n")
+    meta = tmp_path / "metadata.tsv"
+    meta.write_text("".join(meta_lines))
+    return meta, embed_files
+
+
+def _run_mining_stages(meta, tmp_path, tag, k):
+    idx_dir = tmp_path / f"idx_{tag}"
+    mrg_dir = tmp_path / f"margin_{tag}"
+    for extra in ([], ["--use_tgt"]):
+        _invoke(
+            "svecalign_tpu.postprocess.prep_index", str(meta), str(idx_dir),
+            "--data_dir", str(tmp_path / "embeds"),
+            "--src_lang", "en", "--tgt_lang", "de",
+            "--embed_fp16", "--embed_stopes", "--sample_ratio", "1.0",
+            "--index_type", "Flat", *extra,
+        )
+    _invoke(
+        "svecalign_tpu.postprocess.score_align", str(meta), str(mrg_dir),
+        "--embed_dir", str(tmp_path / "embeds"),
+        "--align_dir", str(tmp_path / "aligns"),
+        "--src_lang", "en", "--tgt_lang", "de",
+        "--index_dir", str(idx_dir), "--embed_fp16", "--embed_stopes",
+        "--k", str(k),
+    )
+    from svecalign_tpu.utils.file_utils import read_alignments_with_score
+
+    out = {}
+    for f in sorted((mrg_dir / "en-de").glob("*.txt")):
+        out[f.name] = [s for _, _, s in read_alignments_with_score(f)]
+    return out
+
+
+def test_fused_mining_stages_match_file_path(tmp_path):
+    """prep_index + score_align with device-cached embeddings (fused
+    pipeline): corpus assembled on device, live index handed over via the
+    registry, queries gathered on device — margins must match the
+    file+upload path to fp32 summation-order noise."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.utils import embed_cache
+
+    rng = np.random.default_rng(7)
+    meta, embed_files = _write_mining_fixture(tmp_path, rng)
+    K = 4
+
+    ref = _run_mining_stages(meta, tmp_path, "file", K)
+    assert ref and all(len(v) > 0 for v in ref.values())
+
+    # fused: the embed stages' device rows (== the fp16 file contents)
+    embed_cache.enable(rows=16)
+    for path, rows in embed_files.items():
+        padded = np.zeros((16, rows.shape[1]), np.float16)
+        padded[: rows.shape[0]] = rows.astype(np.float16)
+        embed_cache.put(path, rows.shape[0], jnp.asarray(padded))
+
+    fused = _run_mining_stages(meta, tmp_path, "fused", K)
+
+    assert embed_cache.stats["gather"] >= 4  # 2 corpora + 2 query sides
+    assert fused.keys() == ref.keys()
+    for name in ref:
+        np.testing.assert_allclose(
+            np.asarray(fused[name]), np.asarray(ref[name]), rtol=5e-5, atol=1e-6
+        )
+
+
+def test_fused_mining_falls_back_without_full_cache(tmp_path):
+    """A cache missing one document must fall back to the file path (same
+    scores), not crash or silently mis-gather."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.utils import embed_cache
+
+    rng = np.random.default_rng(11)
+    meta, embed_files = _write_mining_fixture(tmp_path, rng)
+    K = 4
+    ref = _run_mining_stages(meta, tmp_path, "file", K)
+
+    embed_cache.enable(rows=16)
+    items = sorted(embed_files.items())
+    for path, rows in items[:-1]:  # leave the last file uncached
+        padded = np.zeros((16, rows.shape[1]), np.float16)
+        padded[: rows.shape[0]] = rows.astype(np.float16)
+        embed_cache.put(path, rows.shape[0], jnp.asarray(padded))
+
+    fused = _run_mining_stages(meta, tmp_path, "partial", K)
+    assert embed_cache.stats["gather_miss"] >= 1
+    for name in ref:
+        np.testing.assert_allclose(
+            np.asarray(fused[name]), np.asarray(ref[name]), rtol=5e-5, atol=1e-6
+        )
