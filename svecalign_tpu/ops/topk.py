@@ -561,9 +561,20 @@ class IVFIndex:
         blocks that hold probed candidates (padded to a power-of-two block
         count so compile count stays bounded), one dense matmul + masked
         top-k. Only the needed-block count crosses to the host between the
-        two programs."""
-        queries = np.asarray(queries, dtype=np.float32)
-        nq = queries.shape[0]
+        two programs. Device-array queries (fused pipeline) skip the host
+        staging entirely — they are sliced into chunks on device."""
+        on_device = isinstance(queries, jnp.ndarray) and not isinstance(
+            queries, np.ndarray
+        )
+        if on_device:
+            nq = queries.shape[0]
+            qall = queries.astype(jnp.float32)
+            if nq % self.QUERY_CHUNK:
+                pad = self.QUERY_CHUNK - nq % self.QUERY_CHUNK
+                qall = jnp.pad(qall, ((0, pad), (0, 0)))
+        else:
+            queries = np.asarray(queries, dtype=np.float32)
+            nq = queries.shape[0]
         st = self._device_state or self._build_device_state()
         nprobe = min(self.nprobe, self.nlist)
         bs = self.BLOCK
@@ -572,14 +583,19 @@ class IVFIndex:
         i_out = np.full((nq, k), -1, dtype=np.int64)
         chunk = self.QUERY_CHUNK
         for q0 in range(0, nq, chunk):
-            q = queries[q0 : q0 + chunk]
-            m = q.shape[0]
-            if m < chunk:
-                q = np.pad(q, ((0, chunk - m), (0, 0)))
-            if self.query_upload == "float16":
+            m = min(chunk, nq - q0)
+            if on_device:
+                qj = jax.lax.dynamic_slice_in_dim(qall, q0, chunk, 0)
+            elif self.query_upload == "float16":
+                q = queries[q0 : q0 + chunk]
+                if m < chunk:
+                    q = np.pad(q, ((0, chunk - m), (0, 0)))
                 # half the tunnel bytes; the probe/search jits upcast
                 qj = jnp.asarray(q.astype(np.float16)).astype(jnp.float32)
             else:
+                q = queries[q0 : q0 + chunk]
+                if m < chunk:
+                    q = np.pad(q, ((0, chunk - m), (0, 0)))
                 qj = jnp.asarray(q)
             probe_mask, block_needed, count = _ivf_probe_and_blocks(
                 qj, st["centroids"], st["row_list"], nprobe, bs
@@ -596,6 +612,14 @@ class IVFIndex:
             d_out[q0 : q0 + m, :kk] = d2
             i_out[q0 : q0 + m, :kk] = ids
         return d_out, i_out
+
+    def search_device_queries(self, queries, k: int):
+        """Fused-pipeline entry: (nq, dim) device-array queries, no host
+        staging. The search already runs on device; only the (nq, k)
+        results cross to the host (the same contract FlatIndex's method
+        keeps fully on device — downstream jits accept either)."""
+        assert self.ntotal >= k, (self.ntotal, k)
+        return self.search_device(queries, k)
 
     def search(
         self, queries: np.ndarray, k: int, use_device: Optional[bool] = None

@@ -215,15 +215,15 @@ def main():
     buf_ids, buf_rows = [], 0
 
     # fused pipeline: when the embed stages left the rows in the device
-    # cache and the indexes support device-resident queries, each chunk is
-    # resolved by one on-device gather per side — no query upload at all
-    from svecalign_tpu.ops.topk import FlatIndex
+    # cache and the indexes support device-resident queries (Flat and IVF
+    # both do; sharded corpora fall back), each chunk is resolved by one
+    # on-device gather per side — no query upload at all
     from svecalign_tpu.utils import embed_cache
 
     use_device = (
         embed_cache.enabled
-        and isinstance(src_index, FlatIndex)
-        and isinstance(tgt_index, FlatIndex)
+        and hasattr(src_index, "search_device_queries")
+        and hasattr(tgt_index, "search_device_queries")
         and min(src_index.ntotal, tgt_index.ntotal) >= args.k
     )
     if use_device:

@@ -181,7 +181,7 @@ def _write_mining_fixture(tmp_path, rng, d=16, pairs=(("A_en", "A_de", 5), ("B_e
     return meta, embed_files
 
 
-def _run_mining_stages(meta, tmp_path, tag, k):
+def _run_mining_stages(meta, tmp_path, tag, k, index_type="Flat"):
     idx_dir = tmp_path / f"idx_{tag}"
     mrg_dir = tmp_path / f"margin_{tag}"
     for extra in ([], ["--use_tgt"]):
@@ -190,7 +190,7 @@ def _run_mining_stages(meta, tmp_path, tag, k):
             "--data_dir", str(tmp_path / "embeds"),
             "--src_lang", "en", "--tgt_lang", "de",
             "--embed_fp16", "--embed_stopes", "--sample_ratio", "1.0",
-            "--index_type", "Flat", *extra,
+            "--index_type", index_type, *extra,
         )
     _invoke(
         "svecalign_tpu.postprocess.score_align", str(meta), str(mrg_dir),
@@ -208,11 +208,13 @@ def _run_mining_stages(meta, tmp_path, tag, k):
     return out
 
 
-def test_fused_mining_stages_match_file_path(tmp_path):
+@pytest.mark.parametrize("index_type", ["Flat", "IVF8"])
+def test_fused_mining_stages_match_file_path(tmp_path, index_type):
     """prep_index + score_align with device-cached embeddings (fused
-    pipeline): corpus assembled on device, live index handed over via the
-    registry, queries gathered on device — margins must match the
-    file+upload path to fp32 summation-order noise."""
+    pipeline): corpus assembled on device (Flat), live index handed over
+    via the registry, queries gathered and searched on device (Flat AND
+    IVF) — margins must match the file+upload path to fp32
+    summation-order noise (IVF probes the same lists either way)."""
     import jax.numpy as jnp
 
     from svecalign_tpu.utils import embed_cache
@@ -221,7 +223,7 @@ def test_fused_mining_stages_match_file_path(tmp_path):
     meta, embed_files = _write_mining_fixture(tmp_path, rng)
     K = 4
 
-    ref = _run_mining_stages(meta, tmp_path, "file", K)
+    ref = _run_mining_stages(meta, tmp_path, "file", K, index_type)
     assert ref and all(len(v) > 0 for v in ref.values())
 
     # fused: the embed stages' device rows (== the fp16 file contents)
@@ -231,9 +233,9 @@ def test_fused_mining_stages_match_file_path(tmp_path):
         padded[: rows.shape[0]] = rows.astype(np.float16)
         embed_cache.put(path, rows.shape[0], jnp.asarray(padded))
 
-    fused = _run_mining_stages(meta, tmp_path, "fused", K)
+    fused = _run_mining_stages(meta, tmp_path, "fused", K, index_type)
 
-    assert embed_cache.stats["gather"] >= 4  # 2 corpora + 2 query sides
+    assert embed_cache.stats["gather"] >= 2  # query sides (+ Flat corpora)
     assert fused.keys() == ref.keys()
     for name in ref:
         np.testing.assert_allclose(
