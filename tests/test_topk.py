@@ -373,3 +373,42 @@ def test_fp16_query_upload_close_to_fp32():
     idx2.add(corpus)
     d16b, _ = idx2.search(queries, 8)
     np.testing.assert_array_equal(d16b, d16)
+
+
+def test_flat_search_device_queries_matches_host():
+    """Device-resident queries (fused pipeline / bench path) must return
+    the same neighbors as the staged host path, for both the dense and
+    tiled kernels, with results usable straight off the device."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.ops.topk import FlatIndex
+
+    rng = np.random.default_rng(3)
+    for n in (200, 70000):  # dense; tiled (needs BLOCK padding)
+        idx = FlatIndex(dim=32)
+        idx.TILE_THRESHOLD = 1 << 20
+        idx.BLOCK = 1 << 12
+        corpus = rng.standard_normal((n, 32)).astype(np.float32)
+        idx.add(corpus)
+        q = rng.standard_normal((64, 32)).astype(np.float32)
+        d_host, i_host = idx.search(q, 8)
+        d_dev, i_dev = idx.search_device_queries(jnp.asarray(q), 8)
+        np.testing.assert_allclose(np.asarray(d_dev), d_host, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i_dev), i_host)
+
+
+def test_ivf_search_device_queries_matches_host():
+    import jax.numpy as jnp
+
+    from svecalign_tpu.ops.topk import IVFIndex
+
+    rng = np.random.default_rng(4)
+    corpus = rng.standard_normal((3000, 32)).astype(np.float32)
+    idx = IVFIndex(dim=32, nlist=16, nprobe=16)
+    idx.train(corpus[:512])
+    idx.add(corpus)
+    q = rng.standard_normal((700, 32)).astype(np.float32)  # not a chunk multiple
+    d_host, i_host = idx.search_device(q, 8)
+    d_dev, i_dev = idx.search_device_queries(jnp.asarray(q), 8)
+    np.testing.assert_allclose(d_dev, d_host, rtol=1e-6)
+    np.testing.assert_array_equal(i_dev, i_host)
