@@ -281,7 +281,11 @@ def sharded_search(
     mesh, corpus_j, valid_j = prepared
     n_dev = mesh.devices.size
 
-    if query_upload == "float16":
+    if isinstance(queries, jnp.ndarray) and not isinstance(queries, np.ndarray):
+        # already on device (fused pipeline): no host staging; the jit
+        # broadcasts the replicated operand across the mesh over ICI
+        queries = queries.astype(jnp.float32)
+    elif query_upload == "float16":
         # half the staging bytes; the shard-local matmul upcasts exactly
         queries = jnp.asarray(np.asarray(queries).astype(np.float16)).astype(
             jnp.float32
@@ -356,6 +360,16 @@ class ShardedFlatIndex:
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         return sharded_search(
             queries, self.corpus, min(k, self.ntotal),
+            prepared=self._prepared, query_upload=self.query_upload,
+        )
+
+    def search_device_queries(self, queries, k: int):
+        """Fused-pipeline entry: device-array queries, no host staging —
+        the replicated operand rides ICI to every shard; only the merged
+        (nq, k) results cross D2H."""
+        assert self.ntotal >= k, (self.ntotal, k)
+        return sharded_search(
+            queries, self.corpus, k,
             prepared=self._prepared, query_upload=self.query_upload,
         )
 

@@ -412,3 +412,18 @@ def test_ivf_search_device_queries_matches_host():
     d_dev, i_dev = idx.search_device_queries(jnp.asarray(q), 8)
     np.testing.assert_allclose(d_dev, d_host, rtol=1e-6)
     np.testing.assert_array_equal(i_dev, i_host)
+
+
+def test_sharded_search_device_queries_matches_host():
+    import jax.numpy as jnp
+
+    from svecalign_tpu.ops.topk import ShardedFlatIndex
+
+    rng = np.random.default_rng(5)
+    corpus = rng.standard_normal((4096, 32)).astype(np.float32)
+    idx = ShardedFlatIndex(corpus)
+    q = rng.standard_normal((96, 32)).astype(np.float32)
+    d_host, i_host = idx.search(q, 8)
+    d_dev, i_dev = idx.search_device_queries(jnp.asarray(q), 8)
+    np.testing.assert_allclose(d_dev, d_host, rtol=1e-6)
+    np.testing.assert_array_equal(i_dev, i_host)
