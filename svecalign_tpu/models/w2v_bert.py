@@ -25,6 +25,26 @@ TPU notes: everything is static-shape and jit-friendly; ``dtype`` selects
 the compute precision (bf16 for mining throughput, fp32 for parity tests);
 params stay fp32. The causal depthwise conv and the LayerNorms follow the
 HF eval-mode semantics exactly (dropout is inference-time identity).
+
+NEGATIVE RESULTS (measured on v5e at B=8, T=1000 — don't retry blindly):
+the relative_key term costs over half the trunk forward (ablation
+tools/ablate_sonar.py: 203 ms with vs 94.6 ms without), and three exact
+TPU-oriented relayouts of it all failed to beat the HF einsum below:
+  1. q @ table^T then per-score take_along_axis gather: 3.4x SLOWER
+     (697 ms extra over pos=none) — TPU per-element gathers on a
+     (B,H,T,T) output scatter across lanes.
+  2. Transformer-XL-style skew (pad+flatten+re-chunk reshape): 3.9x
+     SLOWER — the flatten crosses the (8,128) tile layout and lowers to a
+     full shuffle.
+  3. Block-diagonal one-hot MXU matmuls (only the 3 near-diagonal block
+     classes carry non-clipped values) + contiguous concat assembly:
+     EQUAL (25.85% vs 25.86% MFU) — at T=1000 the cost is dominated by
+     materializing any extra (B,H,T,T) tensor, not by the HF form's
+     batched small GEMMs; with a .at[].add scatter assembly instead it
+     was again slower (22.9%).
+A fused score kernel is the only remaining lever, and the Pallas flash
+path already measured 2.5x slower at head_dim 64 on this chip
+(models/laser_encoder.py) — so the HF layout stays.
 """
 
 import dataclasses

@@ -414,3 +414,27 @@ def test_fairseq_key_rename_roundtrip(models):
     assert set(flat) == set(ref_flat), (set(flat) ^ set(ref_flat))
     for k in flat:
         np.testing.assert_array_equal(np.asarray(flat[k]), ref_flat[k])
+
+
+def test_w2v_bert_rel_key_long_sequence_matches_hf():
+    """relative_key equivalence at a longer sequence (T=128 spans several
+    clip windows, unlike the T=29 case above) with a ragged tail — guards
+    any future relayout of the relative-position term (see the negative
+    results in the module docstring: three TPU-oriented relayouts measured
+    equal-or-slower than the HF einsum and were reverted)."""
+    hf, jmodel, params = _w2v_bert_pair("relative_key")
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((2, 128, 40)).astype(np.float32)
+    mask = np.ones((2, 128), dtype=np.int64)
+    mask[1, 101:] = 0
+
+    with torch.no_grad():
+        ref = hf(
+            torch.from_numpy(feats), attention_mask=torch.from_numpy(mask)
+        ).last_hidden_state.numpy()
+
+    got = np.asarray(jmodel.apply(
+        params, jnp.asarray(feats), jnp.asarray(mask.astype(bool))
+    ))
+    np.testing.assert_allclose(got[0], ref[0], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got[1, :101], ref[1, :101], rtol=1e-3, atol=1e-4)
