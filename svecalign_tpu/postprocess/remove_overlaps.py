@@ -122,7 +122,11 @@ def run(
     logger.info(f"Output to {out_path}")
 
 
+def main():
+    args = parse_args()
+    logger.info(args)
+    run(**vars(args))
+
+
 if __name__ == "__main__":
-    _args = parse_args()
-    logger.info(_args)
-    run(**vars(_args))
+    main()

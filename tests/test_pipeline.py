@@ -75,3 +75,34 @@ def test_batched_align_cli_int8(example_dir, tmp_path):
     want_set = set((tuple(x), tuple(y)) for x, y in want)
     overlap = len(got_set & want_set) / len(want_set)
     assert overlap >= 0.85, (overlap, len(got_set), len(want_set))
+
+
+def test_every_stage_module_has_main():
+    """pipeline._invoke calls <module>.main(); a stage missing the entry
+    point crashes the orchestrator at that stage (this bit remove_overlaps
+    once — its CLI ran fine standalone via __main__ but not in-process)."""
+    import importlib
+
+    mapping = {
+        "segment": "svecalign_tpu.preprocess.segment",
+        "untrans_segs": "svecalign_tpu.preprocess.detect_untranslate_segs",
+        "concat_segs": "svecalign_tpu.seg_align.concat_segs",
+        "untrans_concats": "svecalign_tpu.seg_align.detect_untranslate_concats",
+        "embed": "svecalign_tpu.seg_align.embed",
+        "align": "svecalign_tpu.seg_align.align",
+        "filter_cost": "svecalign_tpu.postprocess.filter_by_cost",
+        "filter_untrans": "svecalign_tpu.postprocess.filter_untrans_align",
+        "concat_aligns": "svecalign_tpu.postprocess.concat_aligns",
+        "filter_dur": "svecalign_tpu.postprocess.filter_by_dur",
+        "embed_align": "svecalign_tpu.postprocess.embed_align",
+        "prep_index": "svecalign_tpu.postprocess.prep_index",
+        "score_align": "svecalign_tpu.postprocess.score_align",
+        "prep_tsv": "svecalign_tpu.postprocess.prep_tsv",
+        "remove_overlaps": "svecalign_tpu.postprocess.remove_overlaps",
+        "sort": "svecalign_tpu.postprocess.sort_tsv",
+    }
+    from svecalign_tpu.pipeline import STAGES
+
+    assert set(mapping) == set(STAGES)
+    for stage, module in mapping.items():
+        assert callable(getattr(importlib.import_module(module), "main", None)), stage
