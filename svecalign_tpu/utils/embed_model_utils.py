@@ -50,7 +50,40 @@ def add_embed_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     return parser
 
 
+# In-process pipeline runs call load_embed_model once per language per
+# embedding stage (4x for the toy graph); every fresh model instance means
+# fresh jit closures, and axon recompiles cost 20-300 s per bucket program.
+# Memoize on the full argument tuple: stage timings on the toy e2e run were
+# embed 197 s + embed_align 121 s, almost all of it repeated init+compile.
+_model_memo = {}
+
+
 def load_embed_model(
+    embed_model_type: str,
+    sl_ckpt_dir=None,
+    sl_ckpt_name=None,
+    max_tokens=None,
+    sonar_name=None,
+    sonar_fp16: bool = False,
+    compile_sonar: bool = False,
+    batch_size: int = 16,
+    upload_precision: str = "int16",
+):
+    key = (embed_model_type, sl_ckpt_dir, sl_ckpt_name, max_tokens,
+           sonar_name, sonar_fp16, compile_sonar, batch_size,
+           upload_precision)
+    if key in _model_memo:
+        logger.info(f"Reusing the loaded {embed_model_type} model")
+        return _model_memo[key]
+    model = _build_embed_model(
+        embed_model_type, sl_ckpt_dir, sl_ckpt_name, max_tokens, sonar_name,
+        sonar_fp16, compile_sonar, batch_size, upload_precision,
+    )
+    _model_memo[key] = model
+    return model
+
+
+def _build_embed_model(
     embed_model_type: str,
     sl_ckpt_dir=None,
     sl_ckpt_name=None,

@@ -292,3 +292,20 @@ def test_laser_data_parallel_encode_matches_single():
     dp.BUCKETS = (16000, 32000)
     got = dp.encode(wavs)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_load_embed_model_memoized(monkeypatch):
+    """The in-process pipeline must reuse one encoder across stages and
+    languages (same args) instead of paying init+recompile 4x per run;
+    different args (e.g. a per-language checkpoint) still get their own."""
+    from svecalign_tpu.utils import embed_model_utils as emu
+
+    calls = []
+    monkeypatch.setattr(emu, "_build_embed_model",
+                        lambda *a, **kw: calls.append(a) or object())
+    emu._model_memo.clear()
+    a = emu.load_embed_model("speech_laser", max_tokens=16000)
+    b = emu.load_embed_model("speech_laser", max_tokens=16000)
+    c = emu.load_embed_model("speech_laser", max_tokens=32000)
+    assert a is b and a is not c and len(calls) == 2
+    emu._model_memo.clear()
