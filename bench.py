@@ -420,7 +420,11 @@ def run_knn(n_iters: int = 5):
     qps16 = timed("float16")
 
     # fused-pipeline path: queries already on device (embed cache gather),
-    # only the (nq, k) results cross the tunnel
+    # only the (nq, k) results cross the tunnel. Deliberately a dispatch
+    # loop, NOT scan-slope: score_align's real call pattern is
+    # dispatch+pull-per-chunk, so the dispatch/sync overhead IS part of
+    # the production rate (the scan-slope rule in CLAUDE.md applies to
+    # pure device-time measurements like run_encoder/run_sonar).
     import jax.numpy as jnp
 
     qd = jnp.asarray(queries)

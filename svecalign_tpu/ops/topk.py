@@ -30,25 +30,30 @@ def normalize_l2(x: np.ndarray) -> np.ndarray:
     return x / np.where(norms == 0, 1.0, norms)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _normalize_corpus(rows: Array, n: int):
-    """fp16 gathered rows -> (fp32 L2-normalized corpus, corpus_sq) with
-    inf corpus_sq on padding rows (device side of FlatIndex.set_device_corpus)."""
-    x = rows.astype(jnp.float32)
-    norms = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
-    x = x / jnp.where(norms == 0, 1.0, norms)
-    valid = jnp.arange(x.shape[0]) < n
-    sq = jnp.where(valid, jnp.sum(x * x, axis=1), jnp.inf)
-    return jnp.where(valid[:, None], x, 0.0), sq
+def _is_device_array(x) -> bool:
+    """True for jax device arrays (np.ndarray excluded): the fused
+    pipeline hands these in and they must skip all host staging."""
+    return isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray)
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def normalize_rows_device(rows: Array):
     """Device-side L2 normalization (fp32), same zero-row convention as
     :func:`normalize_l2`; used on fused-pipeline query rows."""
     x = rows.astype(jnp.float32)
     norms = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
     return x / jnp.where(norms == 0, 1.0, norms)
+
+
+@jax.jit
+def _normalize_corpus(rows: Array, n: Array):
+    """fp16 gathered rows -> (fp32 L2-normalized corpus, corpus_sq) with
+    inf corpus_sq on padding rows (device side of FlatIndex.set_device_corpus).
+    ``n`` is traced so one program serves every corpus size per shape bucket."""
+    x = normalize_rows_device(rows)
+    valid = jnp.arange(x.shape[0]) < n
+    sq = jnp.where(valid, jnp.sum(x * x, axis=1), jnp.inf)
+    return jnp.where(valid[:, None], x, 0.0), sq
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -183,7 +188,7 @@ class FlatIndex:
         norms (~1e-7 relative)."""
         assert rows_fp16.shape[0] % self.BLOCK == 0, rows_fp16.shape
         assert n_valid == self.ntotal, (n_valid, self.ntotal)
-        self._device_cache = _normalize_corpus(rows_fp16, n_valid)
+        self._device_cache = _normalize_corpus(rows_fp16, jnp.int32(n_valid))
 
     def _search_core(self, queries, k_eff: int):
         """Shared search over device-resident queries -> device (d2, idx)."""
@@ -217,7 +222,7 @@ class FlatIndex:
         half the bytes; the kernel upcasts on device. ~1e-3 relative noise
         on the distances — opt-in via score_align --query_upload fp16.
         Device-array queries pass through with no staging conversion."""
-        if isinstance(queries, jnp.ndarray) and not isinstance(queries, np.ndarray):
+        if _is_device_array(queries):
             pass  # already on device: use as-is (fused pipeline path)
         elif (upload_dtype or self.query_upload) == "float16":
             queries = jnp.asarray(np.asarray(queries).astype(np.float16))
@@ -281,7 +286,7 @@ def sharded_search(
     mesh, corpus_j, valid_j = prepared
     n_dev = mesh.devices.size
 
-    if isinstance(queries, jnp.ndarray) and not isinstance(queries, np.ndarray):
+    if _is_device_array(queries):
         # already on device (fused pipeline): no host staging; the jit
         # broadcasts the replicated operand across the mesh over ICI
         queries = queries.astype(jnp.float32)
@@ -577,9 +582,7 @@ class IVFIndex:
         top-k. Only the needed-block count crosses to the host between the
         two programs. Device-array queries (fused pipeline) skip the host
         staging entirely — they are sliced into chunks on device."""
-        on_device = isinstance(queries, jnp.ndarray) and not isinstance(
-            queries, np.ndarray
-        )
+        on_device = _is_device_array(queries)
         if on_device:
             nq = queries.shape[0]
             qall = queries.astype(jnp.float32)

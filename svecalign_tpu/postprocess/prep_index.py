@@ -87,29 +87,38 @@ def parse_embed_tsv_entries(tsv_path: Path):
     return entries
 
 
-def load_embed_from_tsv(
-    tsv_path: Path, fp16_embed: bool, use_stopes: bool
+def load_embed_from_entries(
+    entries, fp16_embed: bool, use_stopes: bool
 ) -> np.ndarray:
-    """Resolve an embed-pointer tsv (``embed_path \t row_id`` per line) into
-    an (N, dim) float32 matrix preserving line order."""
+    """Resolve pre-parsed pointer entries [(embed_path, row_id), ...] into
+    an (N, dim) float32 matrix preserving entry order."""
     info_dict = defaultdict(list)
-    with open(tsv_path) as fp:
-        for ii, line in enumerate(fp):
-            path, _id = line.strip().split("\t")
-            info_dict[path].append((ii, int(_id)))
+    for ii, (path, _id) in enumerate(entries):
+        info_dict[path].append((ii, _id))
 
     true_ids = []
     embeds = []
-    for embed_path, entries in info_dict.items():
+    for embed_path, rows in info_dict.items():
         embed = load_sent_embeddings(
             embed_path, fp16_embed=fp16_embed, use_stopes=use_stopes, stopes_mode="memory"
         )
-        for true_id, embed_id in entries:
+        for true_id, embed_id in rows:
             true_ids.append(true_id)
             embeds.append(embed[embed_id])
 
     order = np.argsort(true_ids)
     return np.stack(embeds)[order]
+
+
+def load_embed_from_tsv(
+    tsv_path: Path, fp16_embed: bool, use_stopes: bool
+) -> np.ndarray:
+    """Resolve an embed-pointer tsv (``embed_path \t row_id`` per line) into
+    an (N, dim) float32 matrix preserving line order."""
+    return load_embed_from_entries(
+        parse_embed_tsv_entries(tsv_path),
+        fp16_embed=fp16_embed, use_stopes=use_stopes,
+    )
 
 
 def dump_embedding_to_file(

@@ -20,7 +20,7 @@ import numpy as np
 
 from svecalign_tpu.ops.topk import normalize_l2
 from svecalign_tpu.postprocess.prep_index import (
-    load_embed_from_tsv,
+    load_embed_from_entries,
     parse_embed_tsv_entries,
 )
 from svecalign_tpu.utils.file_utils import read_alignments, read_metadata
@@ -212,7 +212,7 @@ def main():
     # direction instead of one per pair
     CHUNK_ROWS = 65536
     margin_scores = []
-    buf_ids, buf_rows = [], 0
+    buf_rows = 0
 
     # fused pipeline: when the embed stages left the rows in the device
     # cache and the indexes support device-resident queries (Flat and IVF
@@ -229,11 +229,7 @@ def main():
     if use_device:
         logger.info("Fused mode: resolving queries from the device embed cache")
 
-    def flush_device(ids) -> bool:
-        src_entries, tgt_entries = [], []
-        for align_id in ids:
-            src_entries.extend(parse_embed_tsv_entries(embed_dir / f"{align_id}.src.tsv"))
-            tgt_entries.extend(parse_embed_tsv_entries(embed_dir / f"{align_id}.tgt.tsv"))
+    def flush_device(src_entries, tgt_entries) -> bool:
         gs = embed_cache.gather_rows_device(src_entries)
         gt = embed_cache.gather_rows_device(tgt_entries)
         if gs is None or gt is None:
@@ -246,36 +242,35 @@ def main():
         )
         return True
 
-    def flush_host(ids) -> None:
-        buf_src, buf_tgt = [], []
-        for align_id in ids:
-            buf_src.append(load_embed_from_tsv(
-                embed_dir / f"{align_id}.src.tsv",
-                fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
-            ))
-            buf_tgt.append(load_embed_from_tsv(
-                embed_dir / f"{align_id}.tgt.tsv",
-                fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes,
-            ))
-        src = np.concatenate(buf_src, axis=0)
-        tgt = np.concatenate(buf_tgt, axis=0)
+    def flush_host(src_entries, tgt_entries) -> None:
+        src = load_embed_from_entries(
+            src_entries, fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes
+        )
+        tgt = load_embed_from_entries(
+            tgt_entries, fp16_embed=args.embed_fp16, use_stopes=args.embed_stopes
+        )
         margin_scores.append(
             compute_margin(src_index, tgt_index, src, tgt, args.k, args.margin)
         )
 
-    def flush():
-        nonlocal buf_ids, buf_rows
-        if not buf_ids:
-            return
-        if not (use_device and flush_device(buf_ids)):
-            flush_host(buf_ids)
-        buf_ids, buf_rows = [], 0
+    buf_src_e, buf_tgt_e = [], []
 
+    def flush():
+        nonlocal buf_src_e, buf_tgt_e, buf_rows
+        if not buf_src_e:
+            return
+        if not (use_device and flush_device(buf_src_e, buf_tgt_e)):
+            flush_host(buf_src_e, buf_tgt_e)
+        buf_src_e, buf_tgt_e, buf_rows = [], [], 0
+
+    # each pointer tsv is parsed exactly once; the parsed entries feed the
+    # device gather directly (fused) or the file loader (fallback)
     for align_id in my_tqdm(metas):
-        with open(embed_dir / f"{align_id}.src.tsv") as fp:
-            n_rows = sum(1 for _ in fp)
-        buf_ids.append(align_id)
-        buf_rows += n_rows
+        src_e = parse_embed_tsv_entries(embed_dir / f"{align_id}.src.tsv")
+        tgt_e = parse_embed_tsv_entries(embed_dir / f"{align_id}.tgt.tsv")
+        buf_src_e.extend(src_e)
+        buf_tgt_e.extend(tgt_e)
+        buf_rows += len(src_e)
         if buf_rows >= CHUNK_ROWS:
             flush()
     flush()

@@ -102,7 +102,8 @@ def get(path) -> Optional[Tuple[int, object]]:
 
 
 def _ensure_stack():
-    """(path -> slot, (n_files, max_rows, dim) fp16 device stack) or None.
+    """(path -> (slot, n_rows), (n_files, max_rows, dim) fp16 device stack)
+    or None.
 
     One device-side stack of every cached document; built once, reused by
     every gather until the cache changes. None when the cache is empty or
@@ -120,7 +121,8 @@ def _ensure_stack():
     if any(a.shape != shape or a.dtype != dtype for a in arrays):
         logger.warning("embed_cache: mixed entry shapes; device gather off")
         return None
-    _stack = ({p: i for i, p in enumerate(paths)}, jnp.stack(arrays))
+    slots = {p: (i, _cache[p][0]) for i, p in enumerate(paths)}
+    _stack = (slots, jnp.stack(arrays))
     return _stack
 
 
@@ -150,10 +152,13 @@ def gather_rows_device(
     flat = []
     for path, row_id in entries:
         slot = slot_of.get(_key(path))
-        if slot is None or not 0 <= row_id < rows_per:
+        # bound against the document's REAL row count, not the padded
+        # buffer: a stale pointer tsv must fall back to the file path
+        # (which raises) rather than silently gather a zero padding row
+        if slot is None or not 0 <= row_id < slot[1]:
             stats["gather_miss"] += 1
             return None
-        flat.append(slot * rows_per + row_id)
+        flat.append(slot[0] * rows_per + row_id)
     import numpy as np
 
     n = len(flat)
@@ -163,7 +168,9 @@ def gather_rows_device(
     idx[:n] = flat
     import jax.numpy as jnp
 
-    rows = _gather_fn()(dev_stack, jnp.asarray(idx), n)
+    # n rides as a traced scalar: programs compile once per n_pad bucket,
+    # not once per exact chunk size (axon compiles cost 20-300 s)
+    rows = _gather_fn()(dev_stack, jnp.asarray(idx), jnp.int32(n))
     stats["gather"] += 1
     return rows, n
 
@@ -175,12 +182,10 @@ def _gather_fn():
     """The jitted row gather, created once (keeps jax import lazy)."""
     global _gather_cached
     if _gather_cached is None:
-        from functools import partial
-
         import jax
         import jax.numpy as jnp
 
-        @partial(jax.jit, static_argnames=("n",))
+        @jax.jit
         def gather(stack, idx, n):
             flat = stack.reshape(-1, stack.shape[-1])
             rows = flat[idx]

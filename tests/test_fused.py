@@ -268,3 +268,20 @@ def test_fused_mining_falls_back_without_full_cache(tmp_path):
         np.testing.assert_allclose(
             np.asarray(fused[name]), np.asarray(ref[name]), rtol=5e-5, atol=1e-6
         )
+
+
+def test_gather_rejects_rows_beyond_document_length(tmp_path):
+    """A pointer referencing a row past the document's REAL row count must
+    miss (fall back to the file path, which raises) — never silently
+    gather a zero padding row (the padded buffer is larger than the doc)."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.utils import embed_cache
+
+    embed_cache.enable(rows=16)
+    rows = np.zeros((16, 4), np.float16)
+    rows[:3] = 1.0
+    embed_cache.put("doc.embed", 3, jnp.asarray(rows))
+    assert embed_cache.gather_rows_device([("doc.embed", 2)]) is not None
+    assert embed_cache.gather_rows_device([("doc.embed", 3)]) is None
+    assert embed_cache.stats["gather_miss"] >= 1
