@@ -236,8 +236,23 @@ class SonarSpeechModel:
                 return b
         return self.BUCKET_FRAMES[-1]
 
-    def encode(self, waveforms) -> np.ndarray:
+    def encode(self, waveforms, keep_device: bool = False):
+        """Encode waveforms -> (N, pool_dim) float32.
+
+        ``keep_device`` mirrors SpeechLaserModel.encode: additionally
+        scatter each batch's output (fp16, the .embed file's dtype) into
+        one (embed_cache.max_rows, dim) device buffer and return
+        ``(out, device_rows)`` — the fused pipeline handoff
+        (utils/embed_cache.py). ``(out, None)`` if N exceeds the cap."""
         out = np.zeros((len(waveforms), self.config.pool_dim), dtype=np.float32)
+        dev = None
+        if keep_device:
+            from svecalign_tpu.utils import embed_cache
+
+            if len(waveforms) <= embed_cache.max_rows:
+                dev = jnp.zeros(
+                    (embed_cache.max_rows, self.config.pool_dim), jnp.float16
+                )
 
         # fixed (batch_size, samples(bucket)) shapes: one program per bucket
         by_bucket: dict = {}
@@ -273,7 +288,14 @@ class SonarSpeechModel:
                     self.params, jnp.asarray(padded), jnp.asarray(scales),
                     jnp.asarray(lengths), bucket,
                 )
+                if dev is not None:
+                    from svecalign_tpu.models.laser_encoder import _scatter_rows_fp16
+
+                    # out-of-range target rows (padding) drop on device
+                    idx = np.full((self.batch_size,), np.iinfo(np.int32).max, np.int32)
+                    idx[: len(chunk)] = [i for i, *_ in chunk]
+                    dev = _scatter_rows_fp16(dev, emb, jnp.asarray(idx))
                 emb = np.asarray(emb, dtype=np.float32)
                 for row, (i, *_ ) in enumerate(chunk):
                     out[i] = emb[row]
-        return out
+        return (out, dev) if keep_device else out

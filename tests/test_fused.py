@@ -285,3 +285,27 @@ def test_gather_rejects_rows_beyond_document_length(tmp_path):
     assert embed_cache.gather_rows_device([("doc.embed", 2)]) is not None
     assert embed_cache.gather_rows_device([("doc.embed", 3)]) is None
     assert embed_cache.stats["gather_miss"] >= 1
+
+
+def test_sonar_encode_keep_device_matches_host_output():
+    """SONAR side of the fused handoff: the device buffer must hold the
+    fp16 of the returned rows (same contract as the LASER encoder)."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.models.sonar_encoder import SonarEncoderConfig, SonarSpeechModel
+    from svecalign_tpu.utils import embed_cache
+
+    embed_cache.enable(rows=8)
+    cfg = SonarEncoderConfig(
+        model_dim=32, n_layers=2, n_heads=4, ffn_dim=64, pool_dim=32,
+        dtype="float32",
+    )
+    model = SonarSpeechModel(config=cfg, batch_size=2)
+    rng = np.random.default_rng(2)
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1
+            for n in (4000, 9000, 6400)]
+    out, dev = model.encode(wavs, keep_device=True)
+    dev = np.asarray(dev)
+    assert dev.shape == (8, 32) and dev.dtype == np.float16
+    np.testing.assert_array_equal(dev[: len(wavs)], out.astype(np.float16))
+    assert not dev[len(wavs):].any()
