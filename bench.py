@@ -443,6 +443,7 @@ def main():
     from svecalign_tpu.vecalign import batch as batch_mod
 
     batch_mod.upload_stats["bytes"] = 0
+    batch_mod.upload_stats["buckets"] = 0
     batched = run_batched(v0, v1)
     # 4 iters x 4 buckets x 32 pairs staged in run_batched (+1 warmup)
     staged_pairs = batch_mod.upload_stats["buckets"] * 32

@@ -59,6 +59,9 @@ def parse_args():
     return parser.parse_args()
 
 
+_ASR_MODEL = None
+
+
 def _maybe_asr(
     paths: List[Path], size: str = "medium", root: Optional[str] = None
 ) -> Optional[List[str]]:
@@ -70,7 +73,11 @@ def _maybe_asr(
     except ImportError:
         logger.warning("no whisper implementation importable; skipping ASR")
         return None
-    model = whisper.load_model(size, download_root=root)
+    global _ASR_MODEL
+    if _ASR_MODEL is None or _ASR_MODEL[0] != size:
+        # one load per process: dump() transcribes both sides of every pair
+        _ASR_MODEL = (size, whisper.load_model(size, download_root=root))
+    model = _ASR_MODEL[1]
     return [model.transcribe(str(p))["text"] for p in paths]
 
 

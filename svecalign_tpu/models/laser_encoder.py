@@ -221,6 +221,10 @@ class SpeechLaserModel:
     reference embed_model_utils.py:137-175 is deleted by design).
     """
 
+    # encode(..., keep_device=True) returns (out, device fp16 rows):
+    # the fused-pipeline handoff capability (utils/embed_cache.py)
+    supports_keep_device = True
+
     # length buckets (samples @16 kHz); segments pad up to the next bucket.
     # Few buckets on purpose: each distinct shape is one (slow, remote) XLA
     # compile, while padded compute is nearly free at these batch sizes.

@@ -12,6 +12,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def numpy_init_leaf(path, leaf, rng: np.random.Generator):
+    """One leaf of the numpy init: kernels ~ N(0, 1/fan_in), biases 0,
+    norm scales 1 (host array; upload happens at the final device_put)."""
+    name = path[-1]
+    if name == "scale":
+        val = np.ones(leaf.shape, np.float32)
+    elif name == "bias":
+        val = np.zeros(leaf.shape, np.float32)
+    else:
+        fan_in = int(np.prod(leaf.shape[:-1])) or 1
+        val = rng.normal(0.0, fan_in**-0.5, leaf.shape).astype(np.float32)
+    return val.astype(leaf.dtype)
+
+
 def numpy_init(model, example_args: Tuple, seed: int = 0):
     """Initialize a flax model's params with numpy: kernels ~ N(0, 1/fan_in),
     biases 0, norm scales 1."""
@@ -22,15 +36,7 @@ def numpy_init(model, example_args: Tuple, seed: int = 0):
     flat = flatten_dict(shapes["params"])
     out = {}
     for path, leaf in flat.items():
-        name = path[-1]
-        if name == "scale":
-            val = np.ones(leaf.shape, np.float32)
-        elif name == "bias":
-            val = np.zeros(leaf.shape, np.float32)
-        else:
-            fan_in = int(np.prod(leaf.shape[:-1])) or 1
-            val = rng.normal(0.0, fan_in**-0.5, leaf.shape).astype(np.float32)
-        out[path] = jnp.asarray(val, dtype=leaf.dtype)
+        out[path] = jnp.asarray(numpy_init_leaf(path, leaf, rng))
     return {"params": unflatten_dict(out)}
 
 

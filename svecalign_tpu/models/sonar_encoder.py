@@ -156,6 +156,10 @@ def sonar_frontend(wav: jax.Array, lengths: jax.Array, n_frames: int, n_mels: in
 class SonarSpeechModel:
     """Host wrapper: fused fbank frontend + bucketed batched forward."""
 
+    # encode(..., keep_device=True) returns (out, device fp16 rows):
+    # the fused-pipeline handoff capability (utils/embed_cache.py)
+    supports_keep_device = True
+
     BUCKET_FRAMES = (200, 500, 1000, 2000, 3000)  # 10 ms frames (pre-stack)
 
     def __init__(
@@ -179,26 +183,37 @@ class SonarSpeechModel:
             loaded = load_params_npz(ckpt_path)
             # trunk-only checkpoints (convert_torch_ckpt.py sonar on a bare
             # Wav2Vec2BertModel) are usable: missing leaves (the pooler)
-            # fall back to random init with a warning
+            # fall back to random init with a warning. Expected keys/shapes
+            # come from jax.eval_shape — nothing is materialized or
+            # uploaded for leaves the checkpoint provides (a full random
+            # init here cost a ~2.4 GB pointless upload per process).
             from flax.traverse_util import flatten_dict, unflatten_dict
 
-            base = flatten_dict(numpy_init(self.model, init_args, seed)["params"])
+            from svecalign_tpu.models.param_utils import numpy_init_leaf
+
+            shapes = flatten_dict(jax.eval_shape(
+                self.model.init, jax.random.PRNGKey(seed), *init_args
+            )["params"])
             got = flatten_dict(loaded["params"])
-            missing = [k for k in base if k not in got]
-            extra = [k for k in got if k not in base]
+            missing = [k for k in shapes if k not in got]
+            extra = [k for k in got if k not in shapes]
             if extra:
                 raise KeyError(
                     f"{ckpt_path}: {len(extra)} unknown parameter paths, e.g. "
                     f"{'/'.join(extra[0])} — wrong architecture/config?"
                 )
-            for k in base:
+            rng = np.random.default_rng(seed)
+            base = {}
+            for k, leaf in shapes.items():
                 if k in got:
-                    if base[k].shape != got[k].shape:
+                    if leaf.shape != got[k].shape:
                         raise ValueError(
                             f"{ckpt_path}: shape mismatch at {'/'.join(k)}: "
-                            f"{got[k].shape} vs expected {base[k].shape}"
+                            f"{got[k].shape} vs expected {leaf.shape}"
                         )
                     base[k] = got[k]
+                else:
+                    base[k] = numpy_init_leaf(k, leaf, rng)
             if missing:
                 logger.warning(
                     f"{ckpt_path}: {len(missing)} parameters not in checkpoint "

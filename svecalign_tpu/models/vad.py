@@ -132,6 +132,15 @@ class SileroV4VAD:
                     k[len("_model."):]: v for k, v in self.weights.items()
                     if k.startswith("_model.")
                 }
+            if "feature_extractor.forward_basis_buffer" not in self.weights:
+                raise ValueError(
+                    f"{ckpt_path} is not a silero v4 checkpoint (missing "
+                    "feature_extractor.forward_basis_buffer; keys look like "
+                    f"{sorted(self.weights)[:3]}...). Re-export the pinned "
+                    "torchscript model with `python tools/convert_torch_ckpt.py "
+                    "silero <silero_vad.jit>` — older round-1 'silero-style' "
+                    ".npz files use a different (incompatible) layout."
+                )
             logger.info(f"Loaded silero weights from {ckpt_path}")
         else:
             self.weights = _v4_random_weights(config, seed)

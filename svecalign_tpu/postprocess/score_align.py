@@ -220,6 +220,18 @@ def main():
     # on-device gather per side — no query upload at all
     from svecalign_tpu.utils import embed_cache
 
+    if min(src_index.ntotal, tgt_index.ntotal) < args.k:
+        # faiss pads missing neighbors with huge distances, so the k-mean
+        # in the margin formula degenerates for corpora smaller than k —
+        # the reference behaves identically; surface it instead of
+        # emitting silently meaningless scores
+        logger.warning(
+            f"index smaller than k={args.k} "
+            f"(src {src_index.ntotal}, tgt {tgt_index.ntotal}): margin "
+            "denominators include +inf padding and scores will collapse; "
+            "lower --k to at most the corpus size"
+        )
+
     use_device = (
         embed_cache.enabled
         and hasattr(src_index, "search_device_queries")

@@ -193,6 +193,12 @@ def main():
         # the fused pipeline handoff lives in the batched driver, so use it
         # (even at batch 1) whenever the embed stage left rows on device
         if args.pair_batch > 1 or embed_cache.enabled:
+            if args.pair_batch <= 1 and embed_cache.enabled:
+                logger.info(
+                    "fused handoff: using the batched aligner driver even at "
+                    "pair_batch 1 (its seeded sampling differs slightly from "
+                    "the per-pair path; gold-quality gated in tests)"
+                )
             if args.dp_backend == "native":
                 logger.warning(
                     "--dp_backend native is ignored with --pair_batch > 1: "

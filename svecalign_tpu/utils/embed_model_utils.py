@@ -159,8 +159,7 @@ def embed_segments_to_file(
         embed_cache.enabled
         and cache_key is not None
         and fp16  # the cached device rows are fp16: they must equal the file
-        and hasattr(embed_model, "encode")
-        and "keep_device" in embed_model.encode.__func__.__code__.co_varnames
+        and getattr(embed_model, "supports_keep_device", False)
     )
     if fused:
         emb, dev = embed_model.encode(wavs, keep_device=True)

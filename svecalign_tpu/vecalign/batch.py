@@ -360,6 +360,27 @@ per-refinement-level band-offset uploads. bench.py reports bytes-per-pair
 from this."""
 
 
+def _pad_id_maps(pairs):
+    """Shared staging bookkeeping: pad each pair's (ids0, ids1) overlap-id
+    maps to one (P, n_over, n_pad) int32 block (-1 = PAD) and collect the
+    per-pair true sizes. Used by both the upload and the device-resident
+    staging paths so the padding/accounting can never drift."""
+    P = len(pairs)
+    assert P > 0
+    n_over0 = pairs[0][1].shape[0]
+    n_over1 = pairs[0][3].shape[0]
+    n_pad = max(p[1].shape[1] for p in pairs)
+    m_pad = max(p[3].shape[1] for p in pairs)
+    ids0 = np.full((P, n_over0, n_pad), -1, dtype=np.int32)
+    ids1 = np.full((P, n_over1, m_pad), -1, dtype=np.int32)
+    for i, (_, i0, _, i1) in enumerate(pairs):
+        ids0[i, :, : i0.shape[1]] = i0
+        ids1[i, :, : i1.shape[1]] = i1
+    sizes0 = np.array([p[1].shape[1] for p in pairs], dtype=np.int32)
+    sizes1 = np.array([p[3].shape[1] for p in pairs], dtype=np.int32)
+    return ids0, ids1, sizes0, sizes1
+
+
 def stage_rows_upload(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
     quantize=False,
@@ -375,28 +396,20 @@ def stage_rows_upload(
     per byte — quarter of fp16, ~2% cosine noise (both gated by the
     committed-example quality tests in tests/test_batch_align.py)."""
     P = len(pairs)
-    assert P > 0
     mode = {False: "fp16", True: "int8"}.get(quantize, quantize)
-    n_over0 = pairs[0][1].shape[0]
-    n_over1 = pairs[0][3].shape[0]
     dim = pairs[0][0].shape[1]
     in_dtype = pairs[0][0].dtype
 
     r0 = max(p[0].shape[0] for p in pairs)
     r1 = max(p[2].shape[0] for p in pairs)
-    n_pad = max(p[1].shape[1] for p in pairs)
-    m_pad = max(p[3].shape[1] for p in pairs)
+    ids0, ids1, sizes0, sizes1 = _pad_id_maps(pairs)
 
     emb0 = np.zeros((P, r0, dim), dtype=in_dtype)
     emb1 = np.zeros((P, r1, dim), dtype=in_dtype)
-    ids0 = np.full((P, n_over0, n_pad), -1, dtype=np.int32)
-    ids1 = np.full((P, n_over1, m_pad), -1, dtype=np.int32)
-    for i, (e0, i0, e1, i1) in enumerate(pairs):
+    for i, (e0, _, e1, _) in enumerate(pairs):
         # NaN rows are zeroed on device in _build_doc_tensors
         emb0[i, : e0.shape[0]] = e0
         emb1[i, : e1.shape[0]] = e1
-        ids0[i, :, : i0.shape[1]] = i0
-        ids1[i, :, : i1.shape[1]] = i1
 
     if mode == "int4":
         q0, s0 = _quantize_rows4(emb0)
@@ -416,8 +429,6 @@ def stage_rows_upload(
         staged = (emb0, emb1, ids0, ids1)
     upload_stats["bytes"] += sum(a.nbytes for a in staged)
     upload_stats["buckets"] += 1
-    sizes0 = np.array([p[1].shape[1] for p in pairs], dtype=np.int32)
-    sizes1 = np.array([p[3].shape[1] for p in pairs], dtype=np.int32)
     return (v0, v1, sizes0, sizes1)
 
 
@@ -432,23 +443,11 @@ def stage_rows_device(
     Because every cached entry shares one global row count, the stack +
     gather program compiles once per (P, n_overlaps, n_pad) — not per
     document."""
-    P = len(pairs)
-    assert P > 0
-    n_over0 = pairs[0][1].shape[0]
-    n_over1 = pairs[0][3].shape[0]
-    n_pad = max(p[1].shape[1] for p in pairs)
-    m_pad = max(p[3].shape[1] for p in pairs)
-    ids0 = np.full((P, n_over0, n_pad), -1, dtype=np.int32)
-    ids1 = np.full((P, n_over1, m_pad), -1, dtype=np.int32)
-    for i, (_, i0, _, i1) in enumerate(pairs):
-        ids0[i, :, : i0.shape[1]] = i0
-        ids1[i, :, : i1.shape[1]] = i1
+    ids0, ids1, sizes0, sizes1 = _pad_id_maps(pairs)
     v0 = _build_doc_tensors(jnp.stack([p[0] for p in pairs]), jnp.asarray(ids0))
     v1 = _build_doc_tensors(jnp.stack([p[2] for p in pairs]), jnp.asarray(ids1))
     upload_stats["bytes"] += ids0.nbytes + ids1.nbytes
     upload_stats["buckets"] += 1
-    sizes0 = np.array([p[1].shape[1] for p in pairs], dtype=np.int32)
-    sizes1 = np.array([p[3].shape[1] for p in pairs], dtype=np.int32)
     return (v0, v1, sizes0, sizes1)
 
 
