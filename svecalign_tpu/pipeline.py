@@ -124,6 +124,9 @@ def main():
     ali_tsv = f"{ali_min}_tsvs"
     shard = ["--rank", str(args.rank), "--n_shard", str(args.n_shard)]
     langs = ["--src_lang", sl, "--tgt_lang", tl]
+    # embed-file format follows the embedder: SpeechLASER writes stopes
+    # .npy, SONAR writes headerless raw (reference embed_model_utils.py)
+    stopes = args.embed_model_type == "speech_laser"
 
     if "segment" in stages:
         for lang, tgt in [(sl, []), (tl, ["--use_tgt"])]:
@@ -152,7 +155,8 @@ def main():
     if "align" in stages:
         _invoke("svecalign_tpu.seg_align.align", meta, ali, *langs,
                 "--seg_dir", seg, "--concat_dir", cat, "--embed_dir", emb,
-                "--is_stopes_embed", "-a", str(args.alignment_max_size),
+                *(["--is_stopes_embed"] if stopes else []),
+                "-a", str(args.alignment_max_size),
                 "--ign_indices_dir", uncats, "--pair_batch", str(args.pair_batch))
     if args.fused and not ({"embed_align", "prep_index", "score_align"} & set(stages)):
         # no downstream consumer left (embed_align reuses the cached overlap
@@ -188,11 +192,13 @@ def main():
         for tgt in ([], ["--use_tgt"]):
             _invoke("svecalign_tpu.postprocess.prep_index", meta, ali_idx,
                     "--data_dir", ali_emb, *langs, "--embed_fp16",
-                    "--sample_ratio", "0.5", "--embed_stopes", *tgt)
+                    "--sample_ratio", "0.5",
+                    *(["--embed_stopes"] if stopes else []), *tgt)
     if "score_align" in stages:
         _invoke("svecalign_tpu.postprocess.score_align", meta, ali_mrg,
                 "--embed_dir", ali_emb, "--align_dir", ali_min, *langs,
-                "--index_dir", ali_idx, "--embed_fp16", "--embed_stopes")
+                "--index_dir", ali_idx, "--embed_fp16",
+                *(["--embed_stopes"] if stopes else []))
     if "prep_tsv" in stages:
         _invoke("svecalign_tpu.postprocess.prep_tsv", meta, ali_tsv, *langs,
                 "--align_dir", ali_mrg, "--seg_dir", seg)

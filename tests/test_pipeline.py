@@ -106,3 +106,40 @@ def test_every_stage_module_has_main():
     assert set(mapping) == set(STAGES)
     for stage, module in mapping.items():
         assert callable(getattr(importlib.import_module(module), "main", None)), stage
+
+
+def test_pipeline_format_flags_follow_embedder(tmp_path, monkeypatch):
+    """SpeechLASER .embed files are stopes .npy, SONAR's are headerless
+    raw — the orchestrator must only pass the stopes-format flags for the
+    laser embedder (a sonar run once crashed at prep_index because
+    --embed_stopes was hard-coded; the fused cache had masked the same
+    mismatch at the align stage)."""
+    import svecalign_tpu.pipeline as pl
+
+    meta = tmp_path / "md.tsv"
+    meta.write_text("/a_en.ogg\t/a_de.ogg\n")
+
+    def run(model_type):
+        calls = []
+        monkeypatch.setattr(pl, "_invoke",
+                            lambda mod, *argv: calls.append((mod, argv)))
+        monkeypatch.setattr(
+            "sys.argv",
+            ["pipeline", str(meta), str(tmp_path / "out"),
+             "--src_lang", "en", "--tgt_lang", "de",
+             "--embed_model_type", model_type,
+             "--stages", "align,prep_index,score_align"],
+        )
+        pl.main()
+        return {mod.rsplit(".", 1)[1]: argv for mod, argv in calls}
+
+    laser = run("speech_laser")
+    assert "--is_stopes_embed" in laser["align"]
+    assert "--embed_stopes" in laser["prep_index"]
+    assert "--embed_stopes" in laser["score_align"]
+
+    sonar = run("sonar")
+    assert "--is_stopes_embed" not in sonar["align"]
+    assert "--embed_stopes" not in sonar["prep_index"]
+    assert "--embed_stopes" not in sonar["score_align"]
+    assert "--embed_fp16" in sonar["prep_index"]
