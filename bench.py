@@ -471,13 +471,15 @@ def main():
     # committed-example gold-F1 gate (tests/test_batch_align.py); the fused
     # pipeline mode is bit-identical to the fp16 file path
     # (tests/test_fused.py); per-mode numbers follow
-    best = min(batched, batched4, fused)
+    best, best_mode = min(
+        [(batched, "int8"), (batched4, "int4"), (fused, "fused")]
+    )
     result = {
         "metric": "doc_pairs_aligned_per_hour_per_chip",
         "value": round(3600.0 / best, 2),
         "unit": "doc-pairs/hour/chip",
         "vs_baseline": round(baseline / best, 3),
-        "headline_mode": {batched: "int8", batched4: "int4", fused: "fused"}[best],
+        "headline_mode": best_mode,
         "batched_seconds_per_pair": round(batched, 4),
         "single_pair_seconds": round(ours, 4),
         "baseline_numpy_seconds_per_pair": round(baseline, 4),

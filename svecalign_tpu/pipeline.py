@@ -65,7 +65,12 @@ def parse_args():
                              "align stage skips the .embed read + re-upload "
                              "(the tunnel-limited resource; utils/embed_cache.py). "
                              "The .embed files are still written — resume and "
-                             "the stage-boundary file contract are unchanged.")
+                             "the stage-boundary file contract are unchanged. "
+                             "Note: fused align always uses the batched driver, "
+                             "whose seeded device-PRNG sampling differs slightly "
+                             "from the per-pair path — outputs can differ from "
+                             "the same command without --fused (a mode switch, "
+                             "not nondeterminism; gold-quality gated in tests).")
     parser.add_argument("--fused_max_rows", type=int, default=4096,
                         help="row cap per cached document (one global shape -> "
                              "one compile); bigger documents fall back to the "
@@ -153,9 +158,12 @@ def main():
                     "--lang", lang, "--embed_model_type", args.embed_model_type,
                     *ck, *shard, *tgt)
     if "align" in stages:
+        # SONAR writes headerless raw fp16 (embed stage default): align must
+        # be told, or read_in_embeddings parses the bytes as fp32 garbage.
+        # (stopes .npy carries its dtype in the header — no flag needed.)
         _invoke("svecalign_tpu.seg_align.align", meta, ali, *langs,
                 "--seg_dir", seg, "--concat_dir", cat, "--embed_dir", emb,
-                *(["--is_stopes_embed"] if stopes else []),
+                *(["--is_stopes_embed"] if stopes else ["--fp16_embed"]),
                 "-a", str(args.alignment_max_size),
                 "--ign_indices_dir", uncats, "--pair_batch", str(args.pair_batch))
     if args.fused and not ({"embed_align", "prep_index", "score_align"} & set(stages)):

@@ -81,13 +81,23 @@ def put(path, n_rows: int, device_rows) -> None:
     global _bytes
     if not enabled or device_rows is None:
         return
+    key = _key(path)
     nbytes = device_rows.size * device_rows.dtype.itemsize
-    if _bytes + nbytes > max_bytes:
+    # re-put of the same path (in-process re-run, embed_align overwrite)
+    # replaces the entry, so its bytes leave the budget first
+    old = _cache.get(key)
+    old_bytes = old[1].size * old[1].dtype.itemsize if old is not None else 0
+    if _bytes - old_bytes + nbytes > max_bytes:
+        if stats["rejected"] == 0:
+            logger.warning(
+                f"embed_cache: HBM cap {max_bytes >> 20} MiB reached — "
+                "further documents fall back to the file+upload path"
+            )
         stats["rejected"] += 1
         return
     global _stack
-    _cache[_key(path)] = (n_rows, device_rows)
-    _bytes += nbytes
+    _cache[key] = (n_rows, device_rows)
+    _bytes += nbytes - old_bytes
     _stack = None
     stats["put"] += 1
 

@@ -135,11 +135,15 @@ def test_pipeline_format_flags_follow_embedder(tmp_path, monkeypatch):
 
     laser = run("speech_laser")
     assert "--is_stopes_embed" in laser["align"]
+    assert "--fp16_embed" not in laser["align"]  # npy header carries dtype
     assert "--embed_stopes" in laser["prep_index"]
     assert "--embed_stopes" in laser["score_align"]
 
     sonar = run("sonar")
     assert "--is_stopes_embed" not in sonar["align"]
+    # SONAR raw .embed files are headerless fp16 (embed-stage default); a
+    # non-fused align run must parse them as fp16 or the row count halves
+    assert "--fp16_embed" in sonar["align"]
     assert "--embed_stopes" not in sonar["prep_index"]
     assert "--embed_stopes" not in sonar["score_align"]
     assert "--embed_fp16" in sonar["prep_index"]
