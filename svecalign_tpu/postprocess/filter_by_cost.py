@@ -1,15 +1,19 @@
-"""Stage 6.1 — drop deletions and high-cost alignments.
+"""Stage 6.1 — drop deletions and alignments the DP scored poorly.
 
-Removes alignments with an empty side and alignments whose cost exceeds
-``--max_cost`` (the paper uses 0.7); warns when a pair keeps less than half
-of its alignments. (Reference svecalign/postprocess/filter_by_cost.py.)
+First post-alignment gate: deletions (one empty side) carry no parallel
+audio, and a high DP cost means the aligner matched spans it was not
+confident about (the paper's threshold is 0.7). Output keeps the
+``[src]:[tgt]:cost`` line format so the rest of the postprocess chain can
+re-read it. A per-pair survival rate is tracked because a pair losing most
+of its alignments usually signals an upstream problem (wrong language
+pairing, bad VAD) worth inspecting by hand.
+(Reference behavior: svecalign/postprocess/filter_by_cost.py.)
 
 CLI: ``python -m svecalign_tpu.postprocess.filter_by_cost METADATA OUT_DIR
 --align_dir A --max_cost 0.7 --src_lang S --tgt_lang T``
 """
 
 import argparse
-import os
 from pathlib import Path
 from typing import Optional
 
@@ -22,11 +26,13 @@ logger = logging.getLogger(__name__)
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
-                        help="the meta file that each line contains paired audio paths")
-    parser.add_argument("out_dir", type=str, help="dir to save alignments.")
+                        help="tsv of paired audio paths, one doc pair per line")
+    parser.add_argument("out_dir", type=str,
+                        help="root of the filtered alignment tree")
     parser.add_argument("--align_dir", type=str, required=True,
-                        help="where the alignments are saved.")
-    parser.add_argument("--max_cost", type=float, required=True, help="the threshold.")
+                        help="root of the raw alignment tree (stage 5.4 output)")
+    parser.add_argument("--max_cost", type=float, required=True,
+                        help="drop alignments costlier than this (paper: 0.7)")
     parser.add_argument("--src_lang", type=str, required=True)
     parser.add_argument("--tgt_lang", type=str, required=True)
     return parser.parse_args()
@@ -38,70 +44,70 @@ def do_filter(
     max_cost: Optional[float] = None,
     min_cost: Optional[float] = None,
 ) -> float:
-    """Filter one alignment file; supports either a max or a min threshold.
-    Returns the kept ratio."""
-    assert (max_cost is None) != (min_cost is None), f"{min_cost} {max_cost}"
+    """Filter one pair's alignment file by a cost bound (upper or lower —
+    exactly one must be given) and return the survival rate.
 
-    old_cnt = new_cnt = 0
-    low_quality_cnt = deletion_cnt = 0
+    Deletions are always dropped. An output that would be empty is not
+    written at all (downstream stages treat a missing file as "no
+    alignments", the same contract the reference uses).
+    """
+    assert (max_cost is None) != (min_cost is None), \
+        f"need exactly one bound, got min={min_cost} max={max_cost}"
 
-    out_alignments = []
-    for src_segs, tgt_segs, cost in read_alignments_with_score(in_path):
-        old_cnt += 1
-        if len(src_segs) == 0 or len(tgt_segs) == 0:
-            deletion_cnt += 1
-            continue
-        if max_cost is not None and cost > max_cost:
-            low_quality_cnt += 1
-            continue
-        if min_cost is not None and cost < min_cost:
-            low_quality_cnt += 1
-            continue
-        new_cnt += 1
-        out_alignments.append((src_segs, tgt_segs, cost))
+    survivors = []
+    total = n_deletion = n_over_cost = 0
+    for src_ids, tgt_ids, cost in read_alignments_with_score(in_path):
+        total += 1
+        if not src_ids or not tgt_ids:
+            n_deletion += 1
+        elif (max_cost is not None and cost > max_cost) or (
+            min_cost is not None and cost < min_cost
+        ):
+            n_over_cost += 1
+        else:
+            survivors.append(f"{src_ids}:{tgt_ids}:{cost}\n")
 
-    if out_alignments:
-        with open(out_path, mode="w") as out_fp:
-            for src_segs, tgt_segs, cost in out_alignments:
-                out_fp.write(f"{src_segs}:{tgt_segs}:{cost}\n")
+    if survivors:
+        with open(out_path, mode="w") as fp:
+            fp.writelines(survivors)
     else:
-        logger.warning("Empty output. Will not write!")
+        logger.warning(f"nothing survived the cost gate; not writing {out_path}")
 
     logger.debug(
-        f"{os.path.basename(in_path)} || Threshold: {max_cost} || "
-        f"#Kept: {new_cnt}/{old_cnt} || #Low quality: {low_quality_cnt} || "
-        f"#Deletions: {deletion_cnt}"
+        f"{Path(in_path).name}: kept {len(survivors)}/{total} "
+        f"(cost-gated {n_over_cost}, deletions {n_deletion}, "
+        f"bound {min_cost if max_cost is None else max_cost})"
     )
-    return new_cnt / old_cnt
+    return len(survivors) / total
 
 
 def main():
     args = parse_args()
     logger.info(args)
 
-    all_pairs = read_metadata(args.metadata)
-
-    align_dir = Path(args.align_dir) / f"{args.src_lang}-{args.tgt_lang}"
-    out_dir = Path(args.out_dir) / f"{args.src_lang}-{args.tgt_lang}"
+    pair_dir = f"{args.src_lang}-{args.tgt_lang}"
+    align_dir = Path(args.align_dir) / pair_dir
+    out_dir = Path(args.out_dir) / pair_dir
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    bad_alignments = []
-    for src, tgt in my_tqdm(all_pairs):
-        src_stem = Path(src).stem
-        tgt_stem = Path(tgt).stem
-        kept_ratio = do_filter(
-            in_path=(align_dir / f"{src_stem}-{tgt_stem}.txt").as_posix(),
-            out_path=(out_dir / f"{src_stem}-{tgt_stem}.txt").as_posix(),
+    doc_pairs = read_metadata(args.metadata)
+    suspicious = []
+    for src_audio, tgt_audio in my_tqdm(doc_pairs):
+        name = f"{Path(src_audio).stem}-{Path(tgt_audio).stem}"
+        survival = do_filter(
+            in_path=(align_dir / f"{name}.txt").as_posix(),
+            out_path=(out_dir / f"{name}.txt").as_posix(),
             max_cost=args.max_cost,
         )
-        if kept_ratio < 0.5:
-            bad_alignments.append(f"{src_stem}-{tgt_stem}")
+        if survival < 0.5:
+            suspicious.append(name)
 
     logger.info(
-        f"{len(bad_alignments)} / {len(all_pairs)} pairs kept less than half alignments."
+        f"{len(suspicious)} of {len(doc_pairs)} pairs lost over half their "
+        "alignments to the cost gate — worth a manual look"
     )
-    logger.debug(bad_alignments)
-    logger.info("Finished!")
+    logger.debug(suspicious)
+    logger.info("Cost filter done.")
 
 
 if __name__ == "__main__":

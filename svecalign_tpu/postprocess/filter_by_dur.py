@@ -1,7 +1,13 @@
-"""Stage 6.4 — keep alignments where BOTH sides last at least ``--min_dur``.
+"""Stage 6.4 — require a minimum duration on BOTH sides of an alignment.
 
-SpeechMatrix-style heuristic (reference svecalign/postprocess/
-filter_by_dur.py:43-112).
+Sub-second clips carry too little signal for the margin scorer and for
+encoder training, so the SpeechMatrix heuristic drops any alignment whose
+source OR target span is shorter than ``--min_dur`` (default 1 s).
+Surviving lines are passed through byte-for-byte — this stage re-emits the
+input lines rather than re-serializing, since by this point the files have
+no cost column to preserve formatting for.
+(Reference behavior: svecalign/postprocess/filter_by_dur.py;
+min-duration rationale: reference README.md:366-369.)
 
 CLI: ``python -m svecalign_tpu.postprocess.filter_by_dur METADATA OUT_DIR
 --align_dir A --seg_dir D --src_lang S --tgt_lang T [--min_dur 1.0]``
@@ -25,14 +31,15 @@ logger = logging.getLogger(__name__)
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
-                        help="the meta file that each line contains paired audio paths")
-    parser.add_argument("out_dir", type=str, help="dir to save alignments.")
+                        help="tsv of paired audio paths, one doc pair per line")
+    parser.add_argument("out_dir", type=str,
+                        help="root of the filtered alignment tree")
     parser.add_argument("--align_dir", type=str, required=True,
-                        help="where the alignments are saved.")
+                        help="root of the concatenated alignment tree (stage 6.3 output)")
     parser.add_argument("--seg_dir", type=str, required=True,
-                        help="the dir for all segments.")
+                        help="root of the VAD segment tree (frame timestamps)")
     parser.add_argument("--min_dur", type=float, default=1.0,
-                        help="alignments shorter than this will be discarded. in second.")
+                        help="minimum span duration in seconds, enforced on both sides")
     parser.add_argument("--src_lang", type=str, required=True)
     parser.add_argument("--tgt_lang", type=str, required=True)
     return parser.parse_args()
@@ -45,64 +52,64 @@ def do_filter(
     min_frames: int,
     out_path: Path,
 ) -> None:
-    src_segments = read_segments(src_seg_path)
-    tgt_segments = read_segments(tgt_seg_path)
-    src_frames, tgt_frames, cnt = alignments_to_timestamps(
-        align_path, src_segments, tgt_segments, ignore_empty=True
+    """Keep the alignment lines whose src AND tgt spans each cover at least
+    ``min_frames`` audio frames; write nothing if none qualify."""
+    spans_src, spans_tgt, n_aligns = alignments_to_timestamps(
+        align_path,
+        read_segments(src_seg_path),
+        read_segments(tgt_seg_path),
+        ignore_empty=True,
     )
 
-    res = []
-    alignments = read_lines(align_path)
-    for ii in range(cnt):
-        if (
-            min_frames <= src_frames[ii][1] - src_frames[ii][0]
-            and min_frames <= tgt_frames[ii][1] - tgt_frames[ii][0]
-        ):
-            res.append(alignments[ii])
+    def long_enough(span) -> bool:
+        first_frame, last_frame = span
+        return last_frame - first_frame >= min_frames
 
-    if len(res) == 0:
+    raw_lines = read_lines(align_path)
+    keep = [
+        raw_lines[i]
+        for i in range(n_aligns)
+        if long_enough(spans_src[i]) and long_enough(spans_tgt[i])
+    ]
+
+    if not keep:
         logger.info(
-            f"Skip {out_path.as_posix()}. You can double check inputs "
-            f"{align_path.as_posix()}"
+            f"every alignment in {align_path.as_posix()} is under the "
+            f"duration floor; not writing {out_path.as_posix()}"
         )
-    else:
-        with open(out_path, mode="w") as fp:
-            for line in res:
-                fp.write(line + "\n")
+        return
+    with open(out_path, mode="w") as fp:
+        fp.writelines(line + "\n" for line in keep)
 
 
 def main():
     args = parse_args()
     logger.info(args)
 
-    all_pairs = read_metadata(args.metadata)
-
-    src_lang, tgt_lang = args.src_lang, args.tgt_lang
-    align_dir = Path(args.align_dir) / f"{src_lang}-{tgt_lang}"
+    pair_dir = f"{args.src_lang}-{args.tgt_lang}"
+    align_dir = Path(args.align_dir) / pair_dir
     seg_dir = Path(args.seg_dir)
-    min_frames = int(SAMPLE_RATE * args.min_dur)
-    logger.info(f"Min frames: {min_frames}")
-
-    out_dir = Path(args.out_dir) / f"{src_lang}-{tgt_lang}"
+    out_dir = Path(args.out_dir) / pair_dir
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    for src, tgt in my_tqdm(all_pairs):
-        src_stem = Path(src).stem
-        tgt_stem = Path(tgt).stem
+    min_frames = int(SAMPLE_RATE * args.min_dur)
+    logger.info(f"Duration floor: {args.min_dur:g} s = {min_frames} frames")
 
-        in_align_path = align_dir / f"{src_stem}-{tgt_stem}.txt"
-        if not in_align_path.exists():
-            logger.warning(f"{in_align_path.as_posix()} not exist. Skip.")
+    for src_audio, tgt_audio in my_tqdm(read_metadata(args.metadata)):
+        src_stem = Path(src_audio).stem
+        tgt_stem = Path(tgt_audio).stem
+        align_path = align_dir / f"{src_stem}-{tgt_stem}.txt"
+        if not align_path.exists():
+            logger.warning(f"no alignment file {align_path.as_posix()}; skipping")
             continue
-
         do_filter(
-            in_align_path,
-            seg_dir / src_lang / f"{src_stem}.txt",
-            seg_dir / tgt_lang / f"{tgt_stem}.txt",
+            align_path,
+            seg_dir / args.src_lang / f"{src_stem}.txt",
+            seg_dir / args.tgt_lang / f"{tgt_stem}.txt",
             min_frames,
             out_dir / f"{src_stem}-{tgt_stem}.txt",
         )
-    logger.info("Finished!")
+    logger.info("Duration filter done.")
 
 
 if __name__ == "__main__":
