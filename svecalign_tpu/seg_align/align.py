@@ -63,6 +63,12 @@ def parse_args():
     parser.add_argument("--pair_batch", type=int, default=1,
                         help="align this many document pairs per device program "
                              "(batched pyramid; amortizes host<->device latency).")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard each bucket's pair axis over this many local "
+                             "devices (jax.sharding mesh; the DP is per-pair, so "
+                             "the program has zero collectives). 0 = all local "
+                             "devices. Implies the batched driver; pair_batch is "
+                             "rounded up to a multiple of the device count.")
     parser.add_argument("--upload_quant", type=str, default="fp16",
                         choices=["fp16", "int8", "int4"],
                         help="embedding upload precision for the batched path: "
@@ -192,7 +198,7 @@ def main():
     with profile_ctx:
         # the fused pipeline handoff lives in the batched driver, so use it
         # (even at batch 1) whenever the embed stage left rows on device
-        if args.pair_batch > 1 or embed_cache.enabled:
+        if args.pair_batch > 1 or embed_cache.enabled or args.data_parallel != 1:
             if args.pair_batch <= 1 and embed_cache.enabled:
                 logger.info(
                     "fused handoff: using the batched aligner driver even at "
@@ -296,25 +302,53 @@ def _run_pairs_batched(args, valid_pairs):
             "pairs use device-resident embeddings (no re-upload)"
         )
 
+    # multi-chip: shard each bucket's pair axis over a local device mesh —
+    # every device stage partitions trivially (no cross-pair dependence),
+    # the Pallas DP runs per-shard inside a shard_map (vecalign/batch.py)
+    sharding = None
+    pair_batch = args.pair_batch
+    if args.data_parallel != 1:
+        import jax
+
+        from svecalign_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        n_dev = args.data_parallel if args.data_parallel > 0 else len(jax.devices())
+        mesh = make_mesh(n_devices=n_dev, model_parallel=1)
+        sharding = batch_sharding(mesh)
+        pair_batch = -(-max(pair_batch, 1) // n_dev) * n_dev
+        logger.info(f"data-parallel aligner: {n_dev} devices, pair_batch {pair_batch}")
+
     # bucket by size so padding stays modest; double-buffer: bucket i+1's
     # upload is dispatched (async) before bucket i's compute is consumed.
     # Fused pairs form their own buckets with the device staging path.
     quant = args.upload_quant
 
+    def pad_bucket(bucket):
+        """A sharded bucket must split evenly over the mesh: repeat the
+        last pair (the duplicates' outputs are dropped by the result zip)."""
+        if sharding is None:
+            return bucket
+        n_dev = sharding.mesh.size
+        return bucket + bucket[-1:] * (-len(bucket) % n_dev)
+
     def stage_upload(bucket):
         return stage_rows_upload(
-            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in bucket], quantize=quant
+            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in pad_bucket(bucket)],
+            quantize=quant, sharding=sharding,
         )
 
     def stage_device(bucket):
-        return stage_rows_device([(e0, i0, e1, i1) for _, e0, i0, e1, i1 in bucket])
+        return stage_rows_device(
+            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in pad_bucket(bucket)],
+            sharding=sharding,
+        )
 
     buckets = []
     for items, stage_fn in ((loaded, stage_upload), (fused_loaded, stage_device)):
         items.sort(key=lambda it: it[2].shape[1] + it[4].shape[1])
         buckets += [
-            (items[s0 : s0 + args.pair_batch], stage_fn)
-            for s0 in range(0, len(items), args.pair_batch)
+            (items[s0 : s0 + pair_batch], stage_fn)
+            for s0 in range(0, len(items), pair_batch)
         ]
 
     # staging (pad + quantize + device_put) runs on a worker thread: in the

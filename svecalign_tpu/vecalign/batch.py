@@ -243,15 +243,32 @@ def _batched_banded_dp(costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs,
     return jax.vmap(fn)(costs, boff_in, boff_out, pens, xs, ys)
 
 
-def _run_batched_banded_dp(
-    costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs, ys,
-    dp_backend: str = "auto",
+def _pair_mesh(arr):
+    """(mesh, axis_name) when ``arr``'s leading (pair) axis is sharded over
+    a multi-device mesh axis, else None. This is how the batched pyramid
+    detects multi-chip mode: the staging functions place the bucket with a
+    NamedSharding over the data axis and every downstream op follows it."""
+    sh = getattr(arr, "sharding", None)
+    if not isinstance(sh, jax.sharding.NamedSharding) or sh.mesh.size <= 1:
+        return None
+    spec = sh.spec
+    if not len(spec) or spec[0] is None:
+        return None
+    axis = spec[0]
+    if isinstance(axis, tuple):
+        if len(axis) != 1:
+            return None  # pair axis split over two mesh axes: unsupported
+        axis = axis[0]
+    return sh.mesh, axis
+
+
+def _dispatch_banded_dp(
+    costs, boff_in, boff_out, pens, xs, ys, *, x_offsets, y_offsets, dp_backend
 ):
-    """Pick the banded-DP kernel for a bucket: the in-kernel pair-batched
-    Pallas wavefront on TPU (one launch for the whole bucket, VMEM-resident
-    state — no per-scan-step overhead x P), else the vmapped XLA scan.
-    Outputs are identical (tests/test_dp_pallas.py::test_pallas_batched_*).
-    """
+    """Single-device kernel choice: the in-kernel pair-batched Pallas
+    wavefront on TPU (one launch for the whole bucket, VMEM-resident state —
+    no per-scan-step overhead x P), else the vmapped XLA scan. Outputs are
+    identical (tests/test_dp_pallas.py::test_pallas_batched_*)."""
     if dp_backend in ("auto", "pallas"):
         platform = jax.default_backend()
         from svecalign_tpu.ops.dp_pallas import pallas_supported
@@ -268,6 +285,35 @@ def _run_batched_banded_dp(
             )
     return _batched_banded_dp(
         costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs, ys
+    )
+
+
+def _run_batched_banded_dp(
+    costs, boff_in, boff_out, x_offsets, y_offsets, pens, xs, ys,
+    dp_backend: str = "auto",
+):
+    """Banded DP for a bucket. When the pair axis is sharded over a mesh,
+    each device runs the kernel on its local pairs via shard_map — the DP
+    has no cross-pair dependence, so the program needs zero collectives
+    (SURVEY.md section 5.8's "data-parallel docs" analog applied to the
+    aligner itself). A Pallas call cannot be auto-partitioned by XLA's SPMD
+    pass, which is why the kernel dispatch sits INSIDE the shard_map."""
+    info = _pair_mesh(costs)
+    if info is not None:
+        mesh, axis = info
+        spec = jax.sharding.PartitionSpec(axis)
+        inner = partial(
+            _dispatch_banded_dp,
+            x_offsets=x_offsets, y_offsets=y_offsets, dp_backend=dp_backend,
+        )
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(spec,) * 6, out_specs=(spec,) * 3,
+            check_vma=False,  # pallas_call has no replication rule
+        )(costs, boff_in, boff_out, pens, xs, ys)
+    return _dispatch_banded_dp(
+        costs, boff_in, boff_out, pens, xs, ys,
+        x_offsets=x_offsets, y_offsets=y_offsets, dp_backend=dp_backend,
     )
 
 
@@ -381,9 +427,19 @@ def _pad_id_maps(pairs):
     return ids0, ids1, sizes0, sizes1
 
 
+def _pair_put(sharding):
+    """Device placement for (P, ...) pair-axis arrays: a plain upload, or a
+    sharded device_put (each shard travels straight to its device) when the
+    bucket is mesh-sharded."""
+    if sharding is None:
+        return jnp.asarray
+    return lambda a: jax.device_put(a, sharding)
+
+
 def stage_rows_upload(
     pairs: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
     quantize=False,
+    sharding=None,
 ):
     """Pad a bucket of (emb_rows0, ids0, emb_rows1, ids1) pairs and START
     the (asynchronous) upload + device-side tensor build. Returns an opaque
@@ -394,7 +450,13 @@ def stage_rows_upload(
     symmetric int8 (+ fp32 scales) — half the fp16 bytes over the
     bandwidth-limited tunnel, ~0.3% cosine noise; "int4" packs two codes
     per byte — quarter of fp16, ~2% cosine noise (both gated by the
-    committed-example quality tests in tests/test_batch_align.py)."""
+    committed-example quality tests in tests/test_batch_align.py).
+
+    ``sharding``: an optional NamedSharding over the pair axis (e.g.
+    ``parallel.mesh.batch_sharding(mesh)``); the bucket then lands sharded
+    across the mesh and the whole pyramid runs data-parallel over pairs.
+    ``len(pairs)`` must divide evenly over the mesh axis."""
+    put = _pair_put(sharding)
     P = len(pairs)
     mode = {False: "fp16", True: "int8"}.get(quantize, quantize)
     dim = pairs[0][0].shape[1]
@@ -414,18 +476,18 @@ def stage_rows_upload(
     if mode == "int4":
         q0, s0 = _quantize_rows4(emb0)
         q1, s1 = _quantize_rows4(emb1)
-        v0 = _build_doc_tensors_q4(jnp.asarray(q0), jnp.asarray(s0), jnp.asarray(ids0))
-        v1 = _build_doc_tensors_q4(jnp.asarray(q1), jnp.asarray(s1), jnp.asarray(ids1))
+        v0 = _build_doc_tensors_q4(put(q0), put(s0), put(ids0))
+        v1 = _build_doc_tensors_q4(put(q1), put(s1), put(ids1))
         staged = (q0, s0, q1, s1, ids0, ids1)
     elif mode == "int8":
         q0, s0 = _quantize_rows(emb0)
         q1, s1 = _quantize_rows(emb1)
-        v0 = _build_doc_tensors_q(jnp.asarray(q0), jnp.asarray(s0), jnp.asarray(ids0))
-        v1 = _build_doc_tensors_q(jnp.asarray(q1), jnp.asarray(s1), jnp.asarray(ids1))
+        v0 = _build_doc_tensors_q(put(q0), put(s0), put(ids0))
+        v1 = _build_doc_tensors_q(put(q1), put(s1), put(ids1))
         staged = (q0, s0, q1, s1, ids0, ids1)
     else:
-        v0 = _build_doc_tensors(jnp.asarray(emb0), jnp.asarray(ids0))
-        v1 = _build_doc_tensors(jnp.asarray(emb1), jnp.asarray(ids1))
+        v0 = _build_doc_tensors(put(emb0), put(ids0))
+        v1 = _build_doc_tensors(put(emb1), put(ids1))
         staged = (emb0, emb1, ids0, ids1)
     upload_stats["bytes"] += sum(a.nbytes for a in staged)
     upload_stats["buckets"] += 1
@@ -434,6 +496,7 @@ def stage_rows_upload(
 
 def stage_rows_device(
     pairs: Sequence[Tuple[object, np.ndarray, object, np.ndarray]],
+    sharding=None,
 ):
     """Fused-pipeline staging: each pair is (dev_rows0, ids0, dev_rows1,
     ids1) where dev_rows are (embed_cache.max_rows, d) fp16 DEVICE arrays
@@ -443,9 +506,14 @@ def stage_rows_device(
     Because every cached entry shares one global row count, the stack +
     gather program compiles once per (P, n_overlaps, n_pad) — not per
     document."""
+    put = _pair_put(sharding)
     ids0, ids1, sizes0, sizes1 = _pad_id_maps(pairs)
-    v0 = _build_doc_tensors(jnp.stack([p[0] for p in pairs]), jnp.asarray(ids0))
-    v1 = _build_doc_tensors(jnp.stack([p[2] for p in pairs]), jnp.asarray(ids1))
+    stack0, stack1 = jnp.stack([p[0] for p in pairs]), jnp.stack([p[2] for p in pairs])
+    if sharding is not None:
+        # cached rows live on the embed stage's device; respread over the mesh
+        stack0, stack1 = jax.device_put(stack0, sharding), jax.device_put(stack1, sharding)
+    v0 = _build_doc_tensors(stack0, put(ids0))
+    v1 = _build_doc_tensors(stack1, put(ids1))
     upload_stats["bytes"] += ids0.nbytes + ids1.nbytes
     upload_stats["buckets"] += 1
     return (v0, v1, sizes0, sizes1)
@@ -556,11 +624,20 @@ def _vecalign_batched_core(
         s0 //= 2
         s1 //= 2
 
+    # multi-chip: when the staged tensors arrived pair-sharded over a mesh,
+    # every host-side upload of a (P, ...) array must land with the SAME
+    # sharding, or jit would silently insert resharding collectives
+    info = _pair_mesh(v0)
+    put_pairs = _pair_put(
+        jax.sharding.NamedSharding(info[0], jax.sharding.PartitionSpec(info[1]))
+        if info is not None else None
+    )
+
     # sizes live twice: numpy for host bookkeeping (traceback bounds, paired
     # draws) and ONE device copy per side reused by every level's jits —
     # per-level jnp.asarray re-uploads are blocking tunnel roundtrips
-    d_sizes0 = jnp.asarray(sizes0.astype(np.int32))
-    d_sizes1 = jnp.asarray(sizes1.astype(np.int32))
+    d_sizes0 = put_pairs(sizes0.astype(np.int32))
+    d_sizes1 = put_pairs(sizes1.astype(np.int32))
     stack = {0: {"v0": v0, "v1": v1, "h_sizes0": sizes0, "h_sizes1": sizes1,
                  "d_sizes0": d_sizes0, "d_sizes1": d_sizes1}}
     for depth in range(1, max_depth + 1):
@@ -602,9 +679,9 @@ def _vecalign_batched_core(
                     idx1[i] = pair_rngs[i].integers(0, h_sizes1[i], size=(o1, samps1))
                 if h_sizes0[i] > 0 and samps0:
                     idx0[i] = pair_rngs[i].integers(0, h_sizes0[i], size=(o0, samps0))
-            sample1 = _batched_gather_sample(e["v1"], jnp.asarray(idx1))
+            sample1 = _batched_gather_sample(e["v1"], put_pairs(idx1))
             e["n0"] = _batched_norms_from_sample(e["v0"], sample1)
-            sample0 = _batched_gather_sample(e["v0"], jnp.asarray(idx0))
+            sample0 = _batched_gather_sample(e["v0"], put_pairs(idx0))
             e["n1"] = _batched_norms_from_sample(e["v1"], sample0)
         else:
             # shared mode: the device PRNG draws the indices — no upload
@@ -657,7 +734,7 @@ def _vecalign_batched_core(
             scores = np.asarray(
                 _batched_score_pairs(
                     e["v0"][:, 0], e["v1"][:, 0], e["n0"][:, 0], e["n1"][:, 0],
-                    jnp.asarray(x_idx), jnp.asarray(y_idx),
+                    put_pairs(x_idx), put_pairs(y_idx),
                 ),
                 dtype=np.float32,
             )
@@ -669,7 +746,7 @@ def _vecalign_batched_core(
                 else:
                     knob = DeletionKnob(np.array([0.0, 0.5, 1.0]), 0, 1)
                 pens[i] = knob.percentile_frac_to_del_penalty(del_percentile_frac)
-            e["del_penalty"] = jnp.asarray(pens)
+            e["del_penalty"] = put_pairs(pens)
         else:
             # fully on device: PRNG draws -> scores -> histogram ->
             # percentile interp; NOTHING crosses the tunnel but the key
@@ -726,7 +803,7 @@ def _vecalign_batched_core(
         else:
             boff_up = boff_in
         upload_stats["level_bytes"] += boff_up.nbytes
-        d_boff_in, d_boff_out = _prep_band_offsets(jnp.asarray(boff_up))
+        d_boff_in, d_boff_out = _prep_band_offsets(put_pairs(boff_up))
 
         band_costs = _batched_banded_costs(
             e["v0"], e["v1"], e["n0"], e["n1"], d_boff_in,

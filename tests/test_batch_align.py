@@ -319,3 +319,40 @@ def test_device_del_penalty_matches_host_knob():
             ).percentile_frac_to_del_penalty(frac)
             assert abs(pen[i] - want) <= 2.0 * max(smax[i], 1e-4) / NUM_BINS + 1e-6
         assert pen[2] == 0.5  # invalid pair placeholder
+
+
+def test_mesh_sharded_pairs_match_single_device():
+    """Multi-chip aligner: sharding the pair axis over an 8-device mesh must
+    reproduce the single-device batched outputs exactly — the DP is
+    per-pair, so partitioning may not change any value (SURVEY.md 5.8's
+    data-parallel-docs analog applied to the aligner itself)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from svecalign_tpu.vecalign.batch import run_staged, stage_rows_upload
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(7)
+    pairs = []
+    for k in range(8):
+        n, m = 20 + k, 22 + (k % 3)
+        r0, r1 = 3 * n, 3 * m
+        e0 = rng.standard_normal((r0, 32)).astype(np.float16)
+        e1 = rng.standard_normal((r1, 32)).astype(np.float16)
+        ids0 = rng.integers(0, r0, size=(3, n)).astype(np.int32)
+        ids1 = rng.integers(0, r1, size=(3, m)).astype(np.int32)
+        ids0[2, n - 1] = -1  # a PAD entry
+        pairs.append((e0, ids0, e1, ids1))
+
+    # max_size_full_dp 16 forces a pyramid level, so the banded costs + DP
+    # (the shard_map'd stage) run too, not just the dense level
+    kw = dict(KW, max_size_full_dp=16, seed=3)
+    base = run_staged(stage_rows_upload(pairs), **kw)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shd = NamedSharding(mesh, P("data"))
+    sharded = run_staged(stage_rows_upload(pairs, sharding=shd), **kw)
+
+    for (a_b, s_b), (a_s, s_s) in zip(base, sharded):
+        assert a_b == a_s
+        np.testing.assert_allclose(s_b, s_s, rtol=1e-5, atol=1e-6)
