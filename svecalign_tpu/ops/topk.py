@@ -644,7 +644,8 @@ class IVFIndex:
         """Probe the nprobe nearest lists per query; exact distances within
         the probed subset. Large query batches run fully on device
         (:meth:`search_device`); small ones are vectorized on host in
-        bounded-memory chunks (a device roundtrip would not amortize)."""
+        bounded-memory chunks (a device roundtrip would not amortize).
+        Corpora beyond one chip's HBM: wrap in :class:`ShardedIVFIndex`."""
         queries = np.asarray(queries, dtype=np.float32)
         if use_device is None:
             use_device = queries.shape[0] >= self.DEVICE_MIN_QUERIES
@@ -704,3 +705,219 @@ class IVFIndex:
             d_out[rows, cols] = d2[sel][keep]
             i_out[rows, cols] = cand[sel][keep]
         return d_out, i_out
+
+
+# ---------------------------------------------------------------------------
+# Sharded IVF: the list-sorted corpus blocks spread row-wise over the mesh —
+# the TPU analog of faiss fp16-shard applied to the IVF tier (reference
+# svecalign/postprocess/score_align.py:48-49,201-217 shards whatever index
+# was loaded across local GPUs, IVF included)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("nprobe",))
+def _ivf_blocks_needed(queries, centroids, list_blocks, nprobe):
+    """(nb,) bool: which list-sorted corpus blocks hold probed candidates.
+
+    Runs SPMD over the sharded ``list_blocks``; the centroid matmul is tiny
+    and replicated. The host reduces the result to a per-shard gather
+    budget (a static shape for the shard_map program)."""
+    c_sims = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(c_sims, nprobe)
+    m, nlist = queries.shape[0], centroids.shape[0]
+    probe_mask = (
+        jnp.zeros((m, nlist), jnp.bool_).at[jnp.arange(m)[:, None], probe].set(True)
+    )
+    mask_any = jnp.any(probe_mask, axis=0)
+    rows_needed = jnp.where(
+        list_blocks >= 0, mask_any[jnp.maximum(list_blocks, 0)], False
+    )
+    return jnp.any(rows_needed, axis=1)
+
+
+class ShardedIVFIndex:
+    """IVF index whose corpus shards row-wise across the device mesh.
+
+    Same probe semantics as :class:`IVFIndex` (identical result sets), but
+    each device stores only its slice of the list-sorted corpus blocks and
+    scores only its local probed blocks; the per-shard top-k candidates are
+    gathered over ICI and re-reduced — so corpora larger than one chip's
+    HBM keep both the IVF compute saving and the faiss fp16-shard memory
+    behavior. Two programs per query chunk: a needed-block count (fixes the
+    static per-shard gather budget G, power-of-two bucketed like the
+    single-device path) and the shard_map probe+gather+score+merge.
+    """
+
+    BLOCK = IVFIndex.BLOCK
+    QUERY_CHUNK = IVFIndex.QUERY_CHUNK
+
+    def __init__(self, ivf: IVFIndex, mesh: Optional[Mesh] = None,
+                 query_upload: str = None):
+        assert ivf.is_trained and ivf.ntotal > 0
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.dim = ivf.dim
+        self.nlist = ivf.nlist
+        self.nprobe = ivf.nprobe
+        self.query_upload = query_upload or ivf.query_upload
+        self._ntotal = ivf.ntotal
+
+        n_dev = mesh.devices.size
+        bs = self.BLOCK
+        n = ivf.ntotal
+        order = np.argsort(ivf._assignments, kind="stable")
+        nb = -(-max(-(-n // bs), 1) // n_dev) * n_dev  # blocks, mesh-divisible
+        n_pad = nb * bs
+        dt = np.float16 if ivf._fp16_exact else np.float32
+        vec = np.zeros((n_pad, self.dim), dt)
+        vec[:n] = ivf._vectors[order].astype(dt)
+        sq = np.full((n_pad,), np.inf, np.float32)
+        sq[:n] = np.sum(ivf._vectors[order] * ivf._vectors[order], axis=1)
+        row_list = np.full((n_pad,), -1, np.int32)
+        row_list[:n] = ivf._assignments[order].astype(np.int32)
+        ids = np.full((n_pad,), -1, np.int32)
+        ids[:n] = order.astype(np.int32)
+
+        ax = self.axis
+
+        def shard(a, spec):
+            return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+        self._vec_blocks = shard(vec.reshape(nb, bs, self.dim), P(ax, None, None))
+        self._sq_blocks = shard(sq.reshape(nb, bs), P(ax, None))
+        self._list_blocks = shard(row_list.reshape(nb, bs), P(ax, None))
+        self._id_blocks = shard(ids.reshape(nb, bs), P(ax, None))
+        self._centroids = shard(
+            np.asarray(ivf.centroids, np.float32), P(None, None)
+        )
+        self._nb_shard = nb // n_dev
+
+    @property
+    def ntotal(self) -> int:
+        return self._ntotal
+
+    def _search_chunk(self, qj, k: int, G: int):
+        """One sharded probe+gather+score+merge program over device queries."""
+        ax = self.axis
+        bs = self.BLOCK
+        nprobe = min(self.nprobe, self.nlist)
+        n_dev = self.mesh.devices.size
+        kk = min(k, G * bs)
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, None), P(ax, None, None), P(ax, None), P(ax, None),
+                P(ax, None), P(None, None),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,  # all_gather output replication is invisible
+            # to the static checker through top_k/take_along_axis
+        )
+        def search(q, vecb, sqb, listb, idb, cents):
+            # replicated probe: identical on every shard (no collective)
+            c_sims = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
+            _, probe = jax.lax.top_k(c_sims, nprobe)
+            m = q.shape[0]
+            probe_mask = (
+                jnp.zeros((m, self.nlist), jnp.bool_)
+                .at[jnp.arange(m)[:, None], probe]
+                .set(True)
+            )
+            mask_any = jnp.any(probe_mask, axis=0)
+            rows_needed = jnp.where(
+                listb >= 0, mask_any[jnp.maximum(listb, 0)], False
+            )
+            block_needed = jnp.any(rows_needed, axis=1)  # (nb_shard,)
+            count = jnp.sum(block_needed.astype(jnp.int32))
+            # gather the local probed blocks into a dense candidate matrix;
+            # overflow slots replicate block 0 and are masked below
+            (blocks,) = jnp.nonzero(block_needed, size=G, fill_value=0)
+            slot_valid = jnp.arange(G) < count
+            cand_v = vecb[blocks].reshape(G * bs, -1).astype(jnp.float32)
+            cand_sq = sqb[blocks].reshape(-1)
+            cand_list = listb[blocks].reshape(-1)
+            cand_id = idb[blocks].reshape(-1)
+            sims = jnp.dot(
+                q, cand_v.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+            d2 = q_sq + cand_sq[None, :] - 2.0 * sims
+            probed = (cand_list[None, :] >= 0) & jnp.take(
+                probe_mask, jnp.maximum(cand_list, 0), axis=1
+            )
+            valid = probed & jnp.repeat(slot_valid, bs)[None, :]
+            d2 = jnp.where(valid, d2, jnp.inf)
+            neg_d, pos = jax.lax.top_k(-d2, kk)
+            ids_l = jnp.where(jnp.isinf(-neg_d), -1, cand_id[pos])
+            # merge over ICI: shard-major candidate axis, one re-reduce
+            d_all = jax.lax.all_gather(-neg_d, ax, axis=1, tiled=True)
+            i_all = jax.lax.all_gather(ids_l, ax, axis=1, tiled=True)
+            neg_best, ppos = jax.lax.top_k(-d_all, min(k, n_dev * kk))
+            return -neg_best, jnp.take_along_axis(i_all, ppos, axis=1)
+
+        return search(
+            qj, self._vec_blocks, self._sq_blocks, self._list_blocks,
+            self._id_blocks, self._centroids,
+        )
+
+    def _gather_budget(self, qj) -> int:
+        """Static per-shard block budget for this chunk: max over shards of
+        the needed-block count, power-of-two bucketed (bounds the compile
+        count exactly like IVFIndex.search_device's scalar pull)."""
+        needed = np.asarray(
+            _ivf_blocks_needed(
+                qj, self._centroids, self._list_blocks,
+                min(self.nprobe, self.nlist),
+            )
+        )
+        n_dev = self.mesh.devices.size
+        per_shard = needed.reshape(n_dev, self._nb_shard).sum(axis=1)
+        g = max(int(per_shard.max()), 1)
+        return min(1 << (g - 1).bit_length(), self._nb_shard)
+
+    def _run_chunks(self, stage_chunk, nq: int, k: int):
+        d_out = np.full((nq, k), np.inf, dtype=np.float32)
+        i_out = np.full((nq, k), -1, dtype=np.int64)
+        chunk = self.QUERY_CHUNK
+        for q0 in range(0, nq, chunk):
+            m = min(chunk, nq - q0)
+            qj = stage_chunk(q0, m, chunk)
+            G = self._gather_budget(qj)
+            d2, ids = self._search_chunk(qj, k, G)
+            cols = d2.shape[1]
+            d_out[q0 : q0 + m, :cols] = np.asarray(d2)[:m]
+            i_out[q0 : q0 + m, :cols] = np.asarray(ids)[:m]
+        return d_out, i_out
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, dtype=np.float32)
+
+        def stage_chunk(q0, m, chunk):
+            q = queries[q0 : q0 + chunk]
+            if m < chunk:
+                q = np.pad(q, ((0, chunk - m), (0, 0)))
+            if self.query_upload == "float16":
+                return jnp.asarray(q.astype(np.float16)).astype(jnp.float32)
+            return jnp.asarray(q)
+
+        return self._run_chunks(stage_chunk, queries.shape[0], k)
+
+    def search_device_queries(self, queries, k: int):
+        """Fused-pipeline entry: device-array queries, sliced into chunks
+        on device; only the merged (nq, k) results cross D2H."""
+        assert self.ntotal >= k, (self.ntotal, k)
+        nq = queries.shape[0]
+        qall = queries.astype(jnp.float32)
+        if nq % self.QUERY_CHUNK:
+            pad = self.QUERY_CHUNK - nq % self.QUERY_CHUNK
+            qall = jnp.pad(qall, ((0, pad), (0, 0)))
+
+        def stage_chunk(q0, m, chunk):
+            return jax.lax.dynamic_slice_in_dim(qall, q0, chunk, 0)
+
+        return self._run_chunks(stage_chunk, nq, k)

@@ -198,14 +198,30 @@ def main():
         logger.info("Queries stage to device as fp16 (half the tunnel bytes)")
 
     if args.sharded_index:
-        from svecalign_tpu.ops.topk import FlatIndex, ShardedFlatIndex
-
-        assert isinstance(src_index, FlatIndex) and isinstance(tgt_index, FlatIndex), (
-            "--sharded_index applies to Flat indexes"
+        # shard whatever index type was loaded — the reference's fp16-shard
+        # spreads the loaded index (Flat OR IVF) across local GPUs
+        # (reference score_align.py:48-49,201-217); here the corpus rows
+        # (Flat) or list-sorted blocks (IVF) spread over the device mesh
+        from svecalign_tpu.ops.topk import (
+            FlatIndex,
+            IVFIndex,
+            ShardedFlatIndex,
+            ShardedIVFIndex,
         )
-        src_index = ShardedFlatIndex(src_index.corpus, query_upload=src_index.query_upload)
-        tgt_index = ShardedFlatIndex(tgt_index.corpus, query_upload=tgt_index.query_upload)
-        logger.info("Sharding corpora across the device mesh")
+
+        def shard(ix):
+            if isinstance(ix, FlatIndex):
+                return ShardedFlatIndex(ix.corpus, query_upload=ix.query_upload)
+            if isinstance(ix, IVFIndex):
+                return ShardedIVFIndex(ix, query_upload=ix.query_upload)
+            return ix  # already sharded (or a live registry handoff)
+
+        src_index = shard(src_index)
+        tgt_index = shard(tgt_index)
+        logger.info(
+            f"Sharding corpora across the device mesh "
+            f"({type(src_index).__name__} / {type(tgt_index).__name__})"
+        )
 
     # batch the queries of many pairs into large chunks: margin scoring is
     # row-wise, so scores are identical, but each chunk costs ONE search per
@@ -215,8 +231,8 @@ def main():
     buf_rows = 0
 
     # fused pipeline: when the embed stages left the rows in the device
-    # cache and the indexes support device-resident queries (Flat and IVF
-    # both do; sharded corpora fall back), each chunk is resolved by one
+    # cache and the indexes support device-resident queries (Flat, IVF and
+    # both sharded variants all do), each chunk is resolved by one
     # on-device gather per side — no query upload at all
     from svecalign_tpu.utils import embed_cache
 

@@ -427,3 +427,50 @@ def test_sharded_search_device_queries_matches_host():
     d_dev, i_dev = idx.search_device_queries(jnp.asarray(q), 8)
     np.testing.assert_allclose(d_dev, d_host, rtol=1e-6)
     np.testing.assert_array_equal(i_dev, i_host)
+
+
+def test_sharded_ivf_matches_single_device_ivf():
+    """ShardedIVFIndex must reproduce IVFIndex's probe semantics exactly:
+    same neighbor sets and distances with the corpus spread over the
+    8-device mesh (the faiss fp16-shard analog for the IVF tier)."""
+    from svecalign_tpu.ops.topk import ShardedIVFIndex
+
+    rng = np.random.default_rng(11)
+    corpus = normalize_l2(rng.standard_normal((4096, 64)).astype(np.float32))
+    queries = normalize_l2(rng.standard_normal((700, 64)).astype(np.float32))
+
+    ivf = IVFIndex(dim=64, nlist=32, nprobe=6)
+    ivf.train(corpus[:2048])
+    ivf.add(corpus)
+    d_ref, i_ref = ivf.search(queries, 8, use_device=True)
+
+    sh = ShardedIVFIndex(ivf)
+    assert sh.mesh.devices.size == 8
+    d_s, i_s = sh.search(queries, 8)
+    np.testing.assert_allclose(d_s, d_ref, rtol=1e-5, atol=1e-5)
+    # ids may permute within exact distance ties; compare as sets per row
+    same = [set(a) == set(b) for a, b in zip(i_s, i_ref)]
+    assert np.mean(same) > 0.99, np.mean(same)
+
+
+def test_sharded_ivf_device_queries_and_padding():
+    """Device-array queries (fused path) and k > probed-candidates padding."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.ops.topk import ShardedIVFIndex
+
+    rng = np.random.default_rng(5)
+    corpus = normalize_l2(rng.standard_normal((1000, 32)).astype(np.float32))
+    queries = normalize_l2(rng.standard_normal((300, 32)).astype(np.float32))
+
+    ivf = IVFIndex(dim=32, nlist=16, nprobe=16)  # full probe = exact
+    ivf.train(corpus)
+    ivf.add(corpus)
+    flat = FlatIndex(dim=32)
+    flat.add(corpus)
+    d_ref, i_ref = flat.search(queries, 4)
+
+    sh = ShardedIVFIndex(ivf)
+    d_s, i_s = sh.search_device_queries(jnp.asarray(queries), 4)
+    np.testing.assert_allclose(d_s, d_ref, rtol=1e-5, atol=1e-5)
+    assert (i_s == i_ref).mean() > 0.99
