@@ -195,9 +195,10 @@ def run_fused(batch: int = 64, n_iters: int = 4) -> float:
     embedding rows are already ON DEVICE (pipeline --fused handoff,
     utils/embed_cache.py), so only the small id maps cross the tunnel.
     Quality is exactly the fp16 file path (bit-identical,
-    tests/test_fused.py). Batch sweep on v5e at example size: 32 ->
-    10.8 ms/pair, 64 -> 9.4 ms (per-level dispatch syncs amortize),
-    128 -> HBM OOM; 64 is the headline config."""
+    tests/test_fused.py). main() sweeps pair batches {32, 64, 128} and
+    reports the best (the round-2 batch-128 OOM was the deletion-knob
+    sampler's (P, 20000, 1024) gather, now scan-chunked in
+    vecalign/batch.py; all three sizes fit)."""
     import jax.numpy as jnp
 
     from svecalign_tpu.utils import embed_cache
@@ -451,7 +452,12 @@ def main():
         batch_mod.upload_stats["bytes"] / staged_pairs if staged_pairs else 0
     )
     batched4 = run_batched(v0, v1, quant="int4", n_iters=2)
-    fused = run_fused()
+    # fused sweep: the headline is the BEST pair batch, so the driver JSON
+    # records the number the docs claim (round-2 gap: docs said batch 64,
+    # bench only ran 32)
+    fused_sweep = {b: run_fused(batch=b, n_iters=2) for b in (32, 64, 128)}
+    fused_batch = min(fused_sweep, key=lambda b: fused_sweep[b])
+    fused = fused_sweep[fused_batch]
     baseline = run_oracle_baseline(stack, v0, v1)
     enc_tokens, enc_mfu, enc_rtf = run_encoder()
     sonar_tokens, sonar_mfu = run_sonar()
@@ -489,6 +495,10 @@ def main():
         "int4_doc_pairs_per_hour": round(3600.0 / batched4, 2),
         "fused_seconds_per_pair": round(fused, 4),
         "fused_doc_pairs_per_hour": round(3600.0 / fused, 2),
+        "fused_pair_batch": fused_batch,
+        "fused_sweep_ms_per_pair": {
+            str(b): round(1000 * t, 2) for b, t in fused_sweep.items()
+        },
         "encoder_tokens_per_sec": round(enc_tokens, 1),
         "encoder_mfu_pct": round(100 * enc_mfu, 2),
         "encoder_audio_rtf": round(enc_rtf, 1),

@@ -71,10 +71,12 @@ def parse_args():
                              "from the per-pair path — outputs can differ from "
                              "the same command without --fused (a mode switch, "
                              "not nondeterminism; gold-quality gated in tests).")
-    parser.add_argument("--fused_max_rows", type=int, default=4096,
+    parser.add_argument("--fused_max_rows", type=int, default=0,
                         help="row cap per cached document (one global shape -> "
                              "one compile); bigger documents fall back to the "
-                             "file+upload path.")
+                             "15-45x slower file+upload path. 0 (default) = "
+                             "auto-size from the concat files right before the "
+                             "embed stage, so hour-scale documents stay fused.")
     parser.add_argument("--max_cost", type=float, default=0.7)
     parser.add_argument("--max_num_align", type=int, default=3)
     parser.add_argument("--min_dur", type=float, default=1.0)
@@ -82,6 +84,36 @@ def parse_args():
     parser.add_argument("--mining_threshold", type=float, default=0.0)
     parser.add_argument("--max_overlap", type=float, default=0.8)
     return parser.parse_args()
+
+
+def _auto_size_fused_cache(cat_dir: Path, langs) -> None:
+    """Derive the fused cache's per-document row cap from the concat files
+    (each line = one embedding row, known before any embedding happens).
+
+    The round-2 default of 4096 silently un-fused exactly the hour-scale
+    documents the pipeline targets (a 2000-segment plenary has ~10k overlap
+    rows): a too-small cap makes the embed stage skip the device handoff
+    and the align stage quietly pay the 15-45x slower file+upload path.
+    Rounded up to a multiple of 1024 so the one-global-shape compile
+    discipline keeps a clean tile size."""
+    from svecalign_tpu.utils import embed_cache
+
+    largest = 0
+    for lang in langs:
+        for txt in (cat_dir / lang).glob("*.txt"):
+            with open(txt, "rb") as fp:
+                largest = max(largest, sum(1 for _ in fp))
+    if largest == 0:
+        logger.warning(
+            f"fused auto-size: no concat files under {cat_dir}; keeping "
+            f"max_rows={embed_cache.max_rows}"
+        )
+        return
+    embed_cache.max_rows = max(4096, -(-largest // 1024) * 1024)
+    logger.info(
+        f"fused cache auto-sized: max_rows={embed_cache.max_rows} "
+        f"(largest concat document: {largest} rows)"
+    )
 
 
 def _invoke(module: str, *argv: str) -> None:
@@ -108,7 +140,7 @@ def main():
     if args.fused:
         from svecalign_tpu.utils import embed_cache
 
-        embed_cache.enable(rows=args.fused_max_rows)
+        embed_cache.enable(rows=args.fused_max_rows or 4096)
 
     out = Path(args.out_dir)
     meta = args.metadata
@@ -150,6 +182,8 @@ def main():
         _invoke("svecalign_tpu.seg_align.detect_untranslate_concats", meta, uncats,
                 "--seg_dir", seg, "--identical_seg_dir", unsegs, *langs)
     if "embed" in stages:
+        if args.fused and not args.fused_max_rows:
+            _auto_size_fused_cache(Path(cat), [sl, tl])
         for lang, name, tgt in [(sl, args.src_ckpt_name, []), (tl, args.tgt_ckpt_name, ["--use_tgt"])]:
             ck = []
             if args.sl_ckpt_dir and name:

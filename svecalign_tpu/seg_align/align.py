@@ -301,6 +301,18 @@ def _run_pairs_batched(args, valid_pairs):
             f"fused pipeline: {len(fused_loaded)}/{len(fused_loaded) + len(loaded)} "
             "pairs use device-resident embeddings (no re-upload)"
         )
+    if embed_cache.enabled and loaded:
+        # surface the silent 15-45x slowdown: in a fused run every pair
+        # SHOULD be cache-resident — a fallback means the document exceeded
+        # the cache cap, the HBM byte cap rejected it, or a resume run
+        # skipped the embed stage (cache never filled)
+        names = ", ".join(Path(p.src_embed_path).stem for p, *_ in loaded[:5])
+        logger.warning(
+            f"fused handoff MISSED {len(loaded)} pair(s) — falling back to "
+            f"the file+upload path for: {names}"
+            + (" ..." if len(loaded) > 5 else "")
+            + f" (cache stats: {embed_cache.stats})"
+        )
 
     # multi-chip: shard each bucket's pair axis over a local device mesh —
     # every device stage partitions trivially (no cross-pair dependence),

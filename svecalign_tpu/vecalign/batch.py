@@ -147,7 +147,7 @@ def _device_knob_penalty(key, v0, v1, n0, n1, h0, h1, S, frac):
 
 
 @jax.jit
-def _batched_score_pairs(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
+def _batched_score_pairs_flat(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
     def one(v0, v1, n0, n1, xi, yi):
         d = jnp.einsum(
             "nd,nd->n",
@@ -159,6 +159,44 @@ def _batched_score_pairs(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
         return 2.0 * (1.0 - d) / (jnp.take(n0, xi) + jnp.take(n1, yi))
 
     return jax.vmap(one)(vecs0, vecs1, norms0, norms1, x_idx, y_idx)
+
+
+@partial(jax.jit, static_argnames=("s_chunk",))
+def _batched_score_pairs_scan(vecs0, vecs1, norms0, norms1, x_idx, y_idx, s_chunk):
+    """Sample axis chunked through a scan so the gathered (P, chunk, d)
+    row matrices stay bounded: the flat gather is (P, S, d) fp32 — 9.8 GB
+    per side at P=128, S=20000, d=1024, the pair_batch-128 OOM. Per-row
+    arithmetic is unchanged, so results equal the flat version exactly."""
+    P, S = x_idx.shape
+    pad = -S % s_chunk
+    xi = jnp.moveaxis(
+        jnp.pad(x_idx, ((0, 0), (0, pad))).reshape(P, -1, s_chunk), 1, 0
+    )
+    yi = jnp.moveaxis(
+        jnp.pad(y_idx, ((0, 0), (0, pad))).reshape(P, -1, s_chunk), 1, 0
+    )
+
+    def step(_, idx):
+        xc, yc = idx
+        return None, _batched_score_pairs_flat(vecs0, vecs1, norms0, norms1, xc, yc)
+
+    _, out = jax.lax.scan(step, None, (xi, yi))  # (nc, P, s_chunk)
+    return jnp.moveaxis(out, 0, 1).reshape(P, -1)[:, :S]
+
+
+# gathered-row HBM cap for the knob sampler: P * s_chunk rows * 1024 fp32
+# * 2 sides ~ 1 GB at this budget
+_SCORE_GATHER_CELLS = 1 << 17
+
+
+def _batched_score_pairs(vecs0, vecs1, norms0, norms1, x_idx, y_idx):
+    P, S = x_idx.shape
+    s_chunk = max(256, _SCORE_GATHER_CELLS // max(P, 1))
+    if S <= s_chunk:
+        return _batched_score_pairs_flat(vecs0, vecs1, norms0, norms1, x_idx, y_idx)
+    return _batched_score_pairs_scan(
+        vecs0, vecs1, norms0, norms1, x_idx, y_idx, s_chunk=s_chunk
+    )
 
 
 @jax.jit

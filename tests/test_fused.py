@@ -335,3 +335,41 @@ def test_sharded_score_align_matches_single_device(tmp_path, index_type):
         np.testing.assert_allclose(
             np.asarray(shd[name]), np.asarray(ref[name]), rtol=1e-3, atol=1e-5
         )
+
+
+def test_fused_staging_beyond_default_row_cap():
+    """Documents above the old 4096-row default must stay fused once the
+    cap is auto-raised: cached rows past index 4096 gather correctly and
+    match the upload path bit for bit."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.utils import embed_cache
+    from svecalign_tpu.vecalign import batch as B
+
+    embed_cache.enable(rows=5120)
+    rng = np.random.default_rng(3)
+    d, n_over, n_rows = 16, 3, 4500
+    kwargs = dict(
+        final_alignment_types=[(1, 1), (1, 2), (2, 1)],
+        del_percentile_frac=0.2, width_over2=4, max_size_full_dp=16,
+        costs_sample_size=100, num_samps_for_norm=10,
+    )
+    e0 = rng.standard_normal((n_rows, d)).astype(np.float16)
+    e1 = rng.standard_normal((n_rows, d)).astype(np.float16)
+    # segments deliberately reference rows ABOVE the old 4096 cap
+    i0 = rng.integers(4000, n_rows, size=(n_over, 24)).astype(np.int32)
+    i1 = rng.integers(4000, n_rows, size=(n_over, 22)).astype(np.int32)
+
+    pad0 = np.zeros((5120, d), np.float16)
+    pad0[:n_rows] = e0
+    pad1 = np.zeros((5120, d), np.float16)
+    pad1[:n_rows] = e1
+
+    res_up = B.run_staged(B.stage_rows_upload([(e0, i0, e1, i1)]), **kwargs)
+    res_dev = B.run_staged(
+        B.stage_rows_device([(jnp.asarray(pad0), i0, jnp.asarray(pad1), i1)]),
+        **kwargs,
+    )
+    (a_up, s_up), (a_dev, s_dev) = res_up[0], res_dev[0]
+    assert a_up == a_dev
+    np.testing.assert_array_equal(np.asarray(s_up), np.asarray(s_dev))

@@ -147,3 +147,48 @@ def test_pipeline_format_flags_follow_embedder(tmp_path, monkeypatch):
     assert "--embed_stopes" not in sonar["prep_index"]
     assert "--embed_stopes" not in sonar["score_align"]
     assert "--embed_fp16" in sonar["prep_index"]
+
+
+def test_fused_cache_autosizes_for_large_documents(tmp_path, monkeypatch):
+    """pipeline --fused (default auto rows) must raise the cache cap from
+    the concat files before the embed stage — a >4096-row document would
+    otherwise silently fall off the fused path (round-2 weak spot)."""
+    import svecalign_tpu.pipeline as pl
+    from svecalign_tpu.utils import embed_cache
+
+    cat_en = tmp_path / "out" / "cat_segs" / "en"
+    cat_de = tmp_path / "out" / "cat_segs" / "de"
+    cat_en.mkdir(parents=True)
+    cat_de.mkdir(parents=True)
+    (cat_en / "doc_en.txt").write_text(
+        "".join(f"{i} {i + 10}\n" for i in range(5000))
+    )
+    (cat_de / "doc_de.txt").write_text("0 10\n")
+    meta = tmp_path / "md.tsv"
+    meta.write_text("/a/doc_en.ogg\t/a/doc_de.ogg\n")
+
+    monkeypatch.setattr(pl, "_invoke", lambda *a: None)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["pipeline", str(meta), str(tmp_path / "out"),
+         "--src_lang", "en", "--tgt_lang", "de", "--fused",
+         "--stages", "embed"],
+    )
+    try:
+        pl.main()
+        assert embed_cache.max_rows == 5120  # 5000 rounded up to 1024s
+    finally:
+        embed_cache.disable()
+
+    # an explicit --fused_max_rows wins over auto-sizing
+    monkeypatch.setattr(
+        "sys.argv",
+        ["pipeline", str(meta), str(tmp_path / "out"),
+         "--src_lang", "en", "--tgt_lang", "de", "--fused",
+         "--fused_max_rows", "2048", "--stages", "embed"],
+    )
+    try:
+        pl.main()
+        assert embed_cache.max_rows == 2048
+    finally:
+        embed_cache.disable()
