@@ -190,6 +190,50 @@ def run_batched(v0, v1, batch: int = 32, n_iters: int = 4, quant="int8") -> floa
     return min(times) / batch
 
 
+def run_batched_ab(v0, v1, batch: int = 32, n_iters: int = 3):
+    """Interleaved int8/int4 A/B: alternate single-bucket trials between
+    the two upload modes so both see the same tunnel state (the round-2
+    sequential bench could not distinguish a slow unpack from a tunnel
+    that degraded between the two measurements). Returns (int8, int4)
+    best seconds-per-pair."""
+    from svecalign_tpu.utils.embedding_utils import make_doc_ids, read_in_embeddings
+    from svecalign_tpu.vecalign.batch import run_staged, stage_rows_upload
+    from svecalign_tpu.vecalign.vecalign import make_alignment_types
+
+    s2i, emb0 = read_in_embeddings(
+        str(EXAMPLE / f"cat_segs/en/{STEM}_en.txt"),
+        str(EXAMPLE / f"embeds/en/{STEM}_en.embed"), use_stopes=True,
+    )
+    t2i, emb1 = read_in_embeddings(
+        str(EXAMPLE / f"cat_segs/de/{STEM}_de.txt"),
+        str(EXAMPLE / f"embeds/de/{STEM}_de.embed"), use_stopes=True,
+    )
+    src_lines = open(EXAMPLE / f"segments/en/{STEM}_en.txt").readlines()
+    tgt_lines = open(EXAMPLE / f"segments/de/{STEM}_de.txt").readlines()
+    ids0 = make_doc_ids(s2i, emb0.shape[0], src_lines, 5, overlap_segments=True)
+    ids1 = make_doc_ids(t2i, emb1.shape[0], tgt_lines, 5, overlap_segments=True)
+    e0 = emb0.astype(np.float16)
+    e1 = emb1.astype(np.float16)
+    pairs = [(e0.copy(), ids0.copy(), e1.copy(), ids1.copy()) for _ in range(batch)]
+    kwargs = dict(
+        final_alignment_types=make_alignment_types(6),
+        del_percentile_frac=0.2,
+        width_over2=8,
+        max_size_full_dp=300,
+        costs_sample_size=20000,
+        num_samps_for_norm=100,
+    )
+    best = {"int8": np.inf, "int4": np.inf}
+    for quant in best:  # warm both programs before any timing
+        run_staged(stage_rows_upload(pairs, quantize=quant), **kwargs)
+    for _ in range(n_iters):
+        for quant in ("int8", "int4"):
+            t0 = time.perf_counter()
+            run_staged(stage_rows_upload(pairs, quantize=quant), **kwargs)
+            best[quant] = min(best[quant], time.perf_counter() - t0)
+    return best["int8"] / batch, best["int4"] / batch
+
+
 def run_fused(batch: int = 64, n_iters: int = 4) -> float:
     """Throughput of the fused-pipeline align path (seconds per pair):
     embedding rows are already ON DEVICE (pipeline --fused handoff,
@@ -451,7 +495,12 @@ def main():
     bytes_per_pair = (
         batch_mod.upload_stats["bytes"] / staged_pairs if staged_pairs else 0
     )
-    batched4 = run_batched(v0, v1, quant="int4", n_iters=2)
+    # interleaved A/B: int4's round-2 "3x slower than int8" was
+    # indistinguishable from mid-bench tunnel degradation; alternating
+    # trials share tunnel state (and the int4 unpack is now a half-block
+    # concat instead of a lane-shuffling interleave)
+    batched_ab8, batched4 = run_batched_ab(v0, v1)
+    batched = min(batched, batched_ab8)
     # fused sweep: the headline is the BEST pair batch, so the driver JSON
     # records the number the docs claim (round-2 gap: docs said batch 64,
     # bench only ran 32)

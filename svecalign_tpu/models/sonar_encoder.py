@@ -53,6 +53,7 @@ class SonarEncoderConfig:
     left_max_position_embeddings: int = 64
     right_max_position_embeddings: int = 8
     dtype: str = "bfloat16"
+    attention_backend: str = "auto"  # fused Pallas rel-key kernel on TPU
 
     def trunk_config(self) -> W2vBertConfig:
         return W2vBertConfig(
@@ -66,6 +67,7 @@ class SonarEncoderConfig:
             left_max_position_embeddings=self.left_max_position_embeddings,
             right_max_position_embeddings=self.right_max_position_embeddings,
             dtype=self.dtype,
+            attention_backend=self.attention_backend,
         )
 
 

@@ -42,9 +42,13 @@ TPU-oriented relayouts of it all failed to beat the HF einsum below:
      materializing any extra (B,H,T,T) tensor, not by the HF form's
      batched small GEMMs; with a .at[].add scatter assembly instead it
      was again slower (22.9%).
-A fused score kernel is the only remaining lever, and the Pallas flash
-path already measured 2.5x slower at head_dim 64 on this chip
-(models/laser_encoder.py) — so the HF layout stays.
+The fused score kernel that those results pointed to now exists and WINS:
+ops/attention_pallas.py keeps scores/bias/softmax/value-contraction in
+VMEM and rebuilds the bias in-kernel from a 73-wide projection (no
+gather: iota-built one-hot matmul + log-decomposed masked lane rolls) —
+measured 3.9x the XLA rel-key attention at B=8, H=16, T=1000 on v5e.
+``attention_backend="auto"`` uses it on TPU; "xla" keeps the HF layout
+(the parity/equivalence path, and the only path on CPU).
 """
 
 import dataclasses
@@ -69,6 +73,11 @@ class W2vBertConfig:
     left_max_position_embeddings: int = 64
     right_max_position_embeddings: int = 8
     dtype: str = "float32"
+    # relative_key attention kernel: "auto" = the fused Pallas flash kernel
+    # on TPU (ops/attention_pallas.py — measured 3.9x the XLA layout at
+    # mining shapes), the HF-layout XLA einsum elsewhere; "xla" forces the
+    # reference layout (parity tests), "pallas" forces the kernel.
+    attention_backend: str = "auto"
 
     @property
     def head_size(self) -> int:
@@ -109,10 +118,22 @@ class _FeedForward(nn.Module):
 class _SelfAttention(nn.Module):
     config: W2vBertConfig
 
+    def _use_fused_kernel(self) -> bool:
+        backend = self.config.attention_backend
+        if backend == "pallas":
+            return True
+        if backend == "auto":
+            import jax
+
+            return jax.default_backend() in ("tpu", "axon")
+        return False
+
     @nn.compact
-    def __call__(self, x, attn_bias, rel_pe):
+    def __call__(self, x, attn_bias, rel_pe, lengths=None):
         """x: (B, T, H); attn_bias: (B, 1, T, T) additive or None;
-        rel_pe: (2T-1, H) sinusoidal table for the 'relative' flavor."""
+        rel_pe: (2T-1, H) sinusoidal table for the 'relative' flavor;
+        lengths: (B,) valid-frame counts (the contiguous-padding form of
+        attn_bias, consumed by the fused kernel path)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         b, t, _ = x.shape
@@ -144,7 +165,6 @@ class _SelfAttention(nn.Module):
             scores_bd = bd[..., : r // 2 + 1]
             scores = (scores_ac + scores_bd) / math.sqrt(dh)
         else:
-            scores = jnp.einsum("bhld,bhrd->bhlr", q, k) / math.sqrt(dh)
             if cfg.position_embeddings_type == "relative_key":
                 n_pos = (cfg.left_max_position_embeddings
                          + cfg.right_max_position_embeddings + 1)
@@ -152,6 +172,23 @@ class _SelfAttention(nn.Module):
                     "distance_embedding", nn.initializers.normal(0.02),
                     (n_pos, dh),
                 )
+                if self._use_fused_kernel():
+                    # fused flash path: scores + rel bias + mask + softmax
+                    # + value contraction never touch HBM; the bias is
+                    # rebuilt in-kernel from the 73-wide projection
+                    from svecalign_tpu.ops.attention_pallas import (
+                        relkey_flash_attention,
+                    )
+
+                    out = relkey_flash_attention(
+                        q, k, v, table.astype(dtype), lengths,
+                        left=cfg.left_max_position_embeddings,
+                        right=cfg.right_max_position_embeddings,
+                    )
+                    out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * dh)
+                    return nn.Dense(cfg.hidden_size, dtype=dtype,
+                                    name="linear_out")(out)
+                scores = jnp.einsum("bhld,bhrd->bhlr", q, k) / math.sqrt(dh)
                 pos = jnp.arange(t)
                 distance = jnp.clip(
                     pos[None, :] - pos[:, None],
@@ -162,6 +199,8 @@ class _SelfAttention(nn.Module):
                     table, distance + cfg.left_max_position_embeddings, axis=0
                 ).astype(dtype)  # (T, T, dh)
                 scores = scores + jnp.einsum("bhld,lrd->bhlr", q, rel) / math.sqrt(dh)
+            else:
+                scores = jnp.einsum("bhld,bhrd->bhlr", q, k) / math.sqrt(dh)
 
         if attn_bias is not None:
             scores = scores + attn_bias
@@ -206,7 +245,7 @@ class W2vBertEncoderLayer(nn.Module):
     config: W2vBertConfig
 
     @nn.compact
-    def __call__(self, x, attn_bias, pad_mask, rel_pe):
+    def __call__(self, x, attn_bias, pad_mask, rel_pe, lengths=None):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
 
@@ -216,7 +255,7 @@ class W2vBertEncoderLayer(nn.Module):
 
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="self_attn_layer_norm")(x).astype(dtype)
-        x = x + _SelfAttention(cfg, name="self_attn")(y, attn_bias, rel_pe)
+        x = x + _SelfAttention(cfg, name="self_attn")(y, attn_bias, rel_pe, lengths)
 
         x = x + _ConvModule(cfg, name="conv_module")(x, pad_mask)
 
@@ -248,10 +287,14 @@ class W2vBertModel(nn.Module):
         )
 
         attn_bias = None
+        lengths = None
         if pad_mask is not None:
             x = jnp.where(pad_mask[:, :, None], x, 0.0)
             neg = jnp.finfo(jnp.float32).min
             attn_bias = jnp.where(pad_mask[:, None, None, :], 0.0, neg)
+            # contiguous-padding form for the fused kernel (the frontend
+            # builds pad_mask as arange < lengths, sonar_encoder.py:152)
+            lengths = jnp.sum(pad_mask.astype(jnp.int32), axis=1)
 
         rel_pe = None
         if cfg.position_embeddings_type == "relative":
@@ -259,6 +302,6 @@ class W2vBertModel(nn.Module):
 
         for i in range(cfg.num_hidden_layers):
             x = W2vBertEncoderLayer(cfg, name=f"layers_{i}")(
-                x, attn_bias, pad_mask, rel_pe
+                x, attn_bias, pad_mask, rel_pe, lengths
             )
         return x

@@ -16,6 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from svecalign_tpu.utils.jax_setup import setup_jax
+
+# honor an explicit JAX_PLATFORMS=cpu before first jax use — the fbank
+# stages (detect_untranslate_*) can be the FIRST jax touch in a pipeline
+# run, and without this they silently ran over the axon tunnel at ~25 ms
+# per call even when the user forced CPU
+setup_jax()
+
 MEL_LOW_FREQ = 20.0
 EPSILON = 1.1920928955078125e-07  # FLT_EPSILON, kaldi's log floor
 
@@ -139,8 +147,24 @@ def fbank(
     samples_needed = frame_length + (frames_pad - 1) * frame_shift
     if samples_needed > n:
         waveform = np.pad(waveform, (0, samples_needed - n))
-    out = _fbank_impl(
-        jnp.asarray(waveform[:samples_needed]), sample_rate, num_mel_bins,
-        frame_length, frame_shift, frames_pad,
-    )
-    return np.asarray(out[:n_frames])
+    # host entry point: run on the CPU backend even when a TPU is default.
+    # Callers (untranslated-segment detection) make thousands of tiny
+    # calls; over the tunneled TPU each pays a ~25 ms roundtrip that
+    # dwarfs the FFT. The fused in-encoder frontend (fbank_device) is the
+    # TPU path and is unaffected.
+    with jax.default_device(_host_cpu()):
+        out = _fbank_impl(
+            jnp.asarray(waveform[:samples_needed]), sample_rate, num_mel_bins,
+            frame_length, frame_shift, frames_pad,
+        )
+        return np.asarray(out[:n_frames])
+
+
+def _host_cpu():
+    global _host_cpu_dev
+    if _host_cpu_dev is None:
+        _host_cpu_dev = jax.devices("cpu")[0]
+    return _host_cpu_dev
+
+
+_host_cpu_dev = None

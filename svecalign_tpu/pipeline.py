@@ -116,18 +116,29 @@ def _auto_size_fused_cache(cat_dir: Path, langs) -> None:
     )
 
 
+stage_seconds: dict = {}
+"""Wall-clock per stage invocation of the last pipeline run (stage name ->
+cumulative seconds; segment/embed run once per language). Logged at the
+end of main(); tools/rehearse_corpus.py reads it for the sustained-run
+breakdown."""
+
+
 def _invoke(module: str, *argv: str) -> None:
     """Run a stage CLI in-process (same interpreter, shared jit caches)."""
     import importlib
+    import time
 
     logger.info(f">>> {module} {' '.join(argv)}")
     mod = importlib.import_module(module)
     old = sys.argv
     sys.argv = [module.rsplit(".", 1)[1], *argv]
+    t0 = time.perf_counter()
     try:
         mod.main()
     finally:
         sys.argv = old
+        name = module.rsplit(".", 1)[1]
+        stage_seconds[name] = stage_seconds.get(name, 0.0) + time.perf_counter() - t0
 
 
 def main():
@@ -261,6 +272,8 @@ def main():
 
         logger.info(f"embed_cache stats: {embed_cache.stats}")
         embed_cache.clear()
+    breakdown = " | ".join(f"{k} {v:.1f}s" for k, v in stage_seconds.items())
+    logger.info(f"stage breakdown: {breakdown}")
     logger.info("Pipeline finished!")
 
 

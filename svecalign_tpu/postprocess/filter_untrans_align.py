@@ -146,7 +146,12 @@ def check_alignments(
             if audio_out_dir is not None
             else None,
         )
-        tmp_out.replace(out_align_path)
+        # a completely-filtered pair writes no tmp file at all; missing
+        # output = "no alignments" downstream (the reference crashes here:
+        # its tmp_out_align_path.replace raises FileNotFoundError,
+        # reference filter_untrans_align.py:110,172)
+        if tmp_out.exists():
+            tmp_out.replace(out_align_path)
 
     logger.info(f"Found {duplicate_cnt} duplications!")
 

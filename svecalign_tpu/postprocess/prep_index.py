@@ -154,6 +154,11 @@ def main():
     # 0. valid inputs, in metadata order
     embed_paths = find_embed_files(all_pairs, data_dir, args.use_tgt)
     del all_pairs
+    if not embed_paths:
+        # every pair was filtered out upstream: nothing to index — leave no
+        # index file rather than crash on an empty sample
+        logger.warning("no embedding tsvs found; skipping index build")
+        return
 
     # 1. sample training files (seeded, as the reference: prep_index.py:220)
     sample_size = max(int(args.sample_ratio * len(embed_paths)), 1)

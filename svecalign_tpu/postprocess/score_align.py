@@ -184,6 +184,9 @@ def main():
 
     metas = find_valid_metas(all_pairs, embed_dir)
     del all_pairs
+    if not metas:
+        logger.warning("no pairs with embedding tsvs; nothing to score")
+        return
 
     index_dir = Path(args.index_dir) / f"{src_lang}-{tgt_lang}"
     src_index_path = list((index_dir / src_lang).glob("*.populate.idx"))[0]

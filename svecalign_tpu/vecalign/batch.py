@@ -391,7 +391,12 @@ def _quantize_rows4(emb: np.ndarray):
     """Per-row symmetric int4 quantization, two codes packed per byte —
     quarter of the fp16 upload. Codes in [-7, 7]; NaN rows -> scale 0.
     ~2% cosine noise on unit-norm speech embeddings; gated by the
-    committed-example quality test (tests/test_batch_align.py)."""
+    committed-example quality test (tests/test_batch_align.py).
+
+    Packing is HALF-BLOCK, not interleaved: byte j holds columns j (low
+    nibble) and j + d/2 (high nibble), so the device unpack is two
+    contiguous halves concatenated — the round-2 interleaved layout
+    (stack + reshape) lowered to a full lane shuffle on TPU."""
     m = np.abs(emb.astype(np.float32, copy=False)).max(axis=-1)
     m = np.where(np.isnan(m), 0.0, m)
     scale = (m / 7.0).astype(np.float32)
@@ -399,8 +404,9 @@ def _quantize_rows4(emb: np.ndarray):
     with np.errstate(invalid="ignore"):
         q = np.rint(emb.astype(np.float32) / denom)
         q = np.where(np.isnan(q), 0.0, np.clip(q, -7, 7)).astype(np.int8)
-    lo = q[..., 0::2] & 0xF
-    hi = (q[..., 1::2] & 0xF) << 4
+    half = q.shape[-1] // 2
+    lo = q[..., :half] & 0xF
+    hi = (q[..., half:] & 0xF) << 4
     return (lo | hi).astype(np.int8), scale
 
 
@@ -410,9 +416,7 @@ def _build_doc_tensors_q4(packed: jax.Array, scale: jax.Array, ids: jax.Array) -
     (arithmetic shifts sign-extend), dequantize, gather, normalize."""
     lo = (packed << 4) >> 4  # low nibble, sign-extended int8
     hi = packed >> 4  # high nibble (arithmetic shift keeps sign)
-    q = jnp.stack([lo, hi], axis=-1).reshape(
-        packed.shape[0], packed.shape[1], 2 * packed.shape[2]
-    )
+    q = jnp.concatenate([lo, hi], axis=-1)  # half-block layout: no shuffle
     emb = q.astype(jnp.float32) * scale[:, :, None]
     gathered = jnp.take_along_axis(
         emb[:, None], jnp.maximum(ids, 0)[:, :, :, None], axis=2

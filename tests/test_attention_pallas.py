@@ -1,0 +1,87 @@
+"""Fused rel-key flash attention vs the unfused XLA reference.
+
+The kernel runs in Pallas interpreter mode on CPU — same trace, same
+lowering logic, numpy execution — so logic bugs (the iota-built one-hot,
+the log-decomposed rolls, the streaming softmax) surface here without a
+TPU. On-chip numerics are covered by the model-level bf16 run in bench.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from svecalign_tpu.ops.attention_pallas import (
+    relkey_attention_reference,
+    relkey_flash_attention,
+)
+
+
+@pytest.mark.parametrize(
+    "b,h,t,lens",
+    [
+        (2, 3, 200, (200, 150)),      # padded T (< one tile), ragged keys
+        (1, 2, 128, (128,)),          # exactly one tile
+        (1, 2, 300, (300,)),          # crosses tile boundaries
+        (2, 1, 384, (384, 40)),       # length shorter than one tile
+    ],
+)
+def test_kernel_matches_reference(b, h, t, lens):
+    rng = np.random.default_rng(hash((b, h, t)) % 2**31)
+    dh = 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    table = jnp.asarray(rng.standard_normal((73, dh)) * 0.02, jnp.float32)
+    lengths = jnp.asarray(lens, jnp.int32)
+
+    ref = np.asarray(relkey_attention_reference(q, k, v, table, lengths))
+    got = np.asarray(relkey_flash_attention(q, k, v, table, lengths, interpret=True))
+
+    valid = np.zeros((b, 1, t, 1), bool)
+    for i, n in enumerate(lens):
+        valid[i, :, :n] = True
+    np.testing.assert_allclose(
+        np.where(valid, got, 0), np.where(valid, ref, 0), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_kernel_no_lengths_and_asymmetric_clip():
+    """None lengths (all valid) and non-default clip window."""
+    rng = np.random.default_rng(9)
+    b, h, t, dh = 1, 2, 260, 64
+    left, right = 16, 4
+    q = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    table = jnp.asarray(rng.standard_normal((left + right + 1, dh)) * 0.02,
+                        jnp.float32)
+    ref = np.asarray(
+        relkey_attention_reference(q, k, v, table, None, left, right)
+    )
+    got = np.asarray(
+        relkey_flash_attention(q, k, v, table, None, left, right, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_model_backend_switch_consistency():
+    """attention_backend='pallas' (interpret unavailable off-TPU) must not
+    change params; 'xla' stays the CPU/parity path. Checks the param trees
+    are identical so checkpoints work across backends."""
+    import jax
+
+    from svecalign_tpu.models.w2v_bert import W2vBertConfig, W2vBertModel
+
+    feats = jnp.zeros((1, 40, 160), jnp.float32)
+    trees = {}
+    for be in ("xla", "pallas"):
+        cfg = W2vBertConfig(num_hidden_layers=1, attention_backend=be)
+        model = W2vBertModel(cfg)
+        # eval_shape: trace-only (a forced-pallas init would otherwise try
+        # to lower the kernel, unsupported on the CPU test backend)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), feats)
+        trees[be] = jax.tree_util.tree_map(
+            lambda x: (x.shape, str(x.dtype)), shapes
+        )
+    assert trees["xla"] == trees["pallas"]
