@@ -42,13 +42,19 @@ TPU-oriented relayouts of it all failed to beat the HF einsum below:
      materializing any extra (B,H,T,T) tensor, not by the HF form's
      batched small GEMMs; with a .at[].add scatter assembly instead it
      was again slower (22.9%).
-The fused score kernel that those results pointed to now exists and WINS:
-ops/attention_pallas.py keeps scores/bias/softmax/value-contraction in
-VMEM and rebuilds the bias in-kernel from a 73-wide projection (no
-gather: iota-built one-hot matmul + log-decomposed masked lane rolls) —
-measured 3.9x the XLA rel-key attention at B=8, H=16, T=1000 on v5e.
-``attention_backend="auto"`` uses it on TPU; "xla" keeps the HF layout
-(the parity/equivalence path, and the only path on CPU).
+The fused score kernel those results pointed to now exists
+(ops/attention_pallas.py): flash-structured, bias rebuilt in-kernel from
+a 73-wide projection (no gather), (B, T, D)-native blocks (a transposed-
+layout version made XLA materialize relayout copies around the custom
+call and LOST), 2 heads packed per 128-lane group, and a rank-1 fast
+path for the ~2/3 of score tiles that sit entirely outside the clip
+band. Final interleaved same-window measurement on v5e (24-layer trunk,
+8x20 s bucket, bf16): **192.9 ms vs 211.2 ms XLA — a 1.10x trunk win**
+(an early standalone 3.9x was a tunnel-window artifact; the masked lane
+rolls that expand the bias are the kernel's VPU floor).
+``attention_backend="auto"`` uses it on TPU (head_dim 64, even head
+count); "xla" keeps the HF layout (the parity/equivalence path, and the
+only path on CPU).
 """
 
 import dataclasses
@@ -142,6 +148,31 @@ class _SelfAttention(nn.Module):
         q = nn.Dense(cfg.hidden_size, dtype=dtype, name="linear_q")(x)
         k = nn.Dense(cfg.hidden_size, dtype=dtype, name="linear_k")(x)
         v = nn.Dense(cfg.hidden_size, dtype=dtype, name="linear_v")(x)
+        if (cfg.position_embeddings_type == "relative_key"
+                and dh == 64 and nh % 2 == 0  # kernel packs 2 heads/lane group
+                and self._use_fused_kernel()):
+            # fused flash path: scores + rel bias + mask + softmax + value
+            # contraction never touch HBM; the bias is rebuilt in-kernel
+            # from the 73-wide projection. The kernel consumes the dense
+            # outputs' NATIVE (B, T, H, dh) layout — no transposes, so XLA
+            # inserts no physical relayout copies around the custom call.
+            from svecalign_tpu.ops.attention_pallas import relkey_flash_attention
+
+            n_pos = (cfg.left_max_position_embeddings
+                     + cfg.right_max_position_embeddings + 1)
+            table = self.param(
+                "distance_embedding", nn.initializers.normal(0.02),
+                (n_pos, dh),
+            )
+            out = relkey_flash_attention(
+                q.reshape(b, t, nh, dh),
+                k.reshape(b, t, nh, dh),
+                v.reshape(b, t, nh, dh),
+                table.astype(dtype), lengths,
+                left=cfg.left_max_position_embeddings,
+                right=cfg.right_max_position_embeddings,
+            ).reshape(b, t, nh * dh)
+            return nn.Dense(cfg.hidden_size, dtype=dtype, name="linear_out")(out)
         q = q.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)  # (B, H, T, dh)
         k = k.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, nh, dh).transpose(0, 2, 1, 3)
@@ -172,22 +203,6 @@ class _SelfAttention(nn.Module):
                     "distance_embedding", nn.initializers.normal(0.02),
                     (n_pos, dh),
                 )
-                if self._use_fused_kernel():
-                    # fused flash path: scores + rel bias + mask + softmax
-                    # + value contraction never touch HBM; the bias is
-                    # rebuilt in-kernel from the 73-wide projection
-                    from svecalign_tpu.ops.attention_pallas import (
-                        relkey_flash_attention,
-                    )
-
-                    out = relkey_flash_attention(
-                        q, k, v, table.astype(dtype), lengths,
-                        left=cfg.left_max_position_embeddings,
-                        right=cfg.right_max_position_embeddings,
-                    )
-                    out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * dh)
-                    return nn.Dense(cfg.hidden_size, dtype=dtype,
-                                    name="linear_out")(out)
                 scores = jnp.einsum("bhld,bhrd->bhlr", q, k) / math.sqrt(dh)
                 pos = jnp.arange(t)
                 distance = jnp.clip(

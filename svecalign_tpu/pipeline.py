@@ -59,6 +59,12 @@ def parse_args():
     parser.add_argument("--tgt_ckpt_name", type=str, default=None)
     parser.add_argument("--alignment_max_size", type=int, default=6)
     parser.add_argument("--pair_batch", type=int, default=1)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard the align stage's pair axis over this many "
+                             "local devices (0 = all). See seg_align.align.")
+    parser.add_argument("--sharded_index", action="store_true", default=False,
+                        help="score_align: shard the loaded kNN corpora (Flat "
+                             "or IVF) row-wise across the device mesh.")
     parser.add_argument("--fused", action="store_true", default=False,
                         help="fused embed->align handoff: keep each document's "
                              "embedding rows ON DEVICE between the stages so the "
@@ -210,7 +216,9 @@ def main():
                 "--seg_dir", seg, "--concat_dir", cat, "--embed_dir", emb,
                 *(["--is_stopes_embed"] if stopes else ["--fp16_embed"]),
                 "-a", str(args.alignment_max_size),
-                "--ign_indices_dir", uncats, "--pair_batch", str(args.pair_batch))
+                "--ign_indices_dir", uncats, "--pair_batch", str(args.pair_batch),
+                *(["--data_parallel", str(args.data_parallel)]
+                  if args.data_parallel != 1 else []))
     if args.fused and not ({"embed_align", "prep_index", "score_align"} & set(stages)):
         # no downstream consumer left (embed_align reuses the cached overlap
         # rows; prep_index/score_align resolve corpus/queries against the
@@ -251,7 +259,8 @@ def main():
         _invoke("svecalign_tpu.postprocess.score_align", meta, ali_mrg,
                 "--embed_dir", ali_emb, "--align_dir", ali_min, *langs,
                 "--index_dir", ali_idx, "--embed_fp16",
-                *(["--embed_stopes"] if stopes else []))
+                *(["--embed_stopes"] if stopes else []),
+                *(["--sharded_index"] if args.sharded_index else []))
     if "prep_tsv" in stages:
         _invoke("svecalign_tpu.postprocess.prep_tsv", meta, ali_tsv, *langs,
                 "--align_dir", ali_mrg, "--seg_dir", seg)

@@ -20,27 +20,27 @@ from svecalign_tpu.ops.attention_pallas import (
 @pytest.mark.parametrize(
     "b,h,t,lens",
     [
-        (2, 3, 200, (200, 150)),      # padded T (< one tile), ragged keys
+        (2, 4, 200, (200, 150)),      # padded T (< one tile), ragged keys
         (1, 2, 128, (128,)),          # exactly one tile
         (1, 2, 300, (300,)),          # crosses tile boundaries
-        (2, 1, 384, (384, 40)),       # length shorter than one tile
+        (2, 2, 384, (384, 40)),       # length shorter than one tile
     ],
 )
 def test_kernel_matches_reference(b, h, t, lens):
     rng = np.random.default_rng(hash((b, h, t)) % 2**31)
     dh = 64
-    q = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, t, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, dh)), jnp.float32)
     table = jnp.asarray(rng.standard_normal((73, dh)) * 0.02, jnp.float32)
     lengths = jnp.asarray(lens, jnp.int32)
 
     ref = np.asarray(relkey_attention_reference(q, k, v, table, lengths))
     got = np.asarray(relkey_flash_attention(q, k, v, table, lengths, interpret=True))
 
-    valid = np.zeros((b, 1, t, 1), bool)
+    valid = np.zeros((b, t, 1, 1), bool)
     for i, n in enumerate(lens):
-        valid[i, :, :n] = True
+        valid[i, :n] = True
     np.testing.assert_allclose(
         np.where(valid, got, 0), np.where(valid, ref, 0), rtol=1e-4, atol=1e-5
     )
@@ -51,9 +51,9 @@ def test_kernel_no_lengths_and_asymmetric_clip():
     rng = np.random.default_rng(9)
     b, h, t, dh = 1, 2, 260, 64
     left, right = 16, 4
-    q = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, t, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, dh)), jnp.float32)
     table = jnp.asarray(rng.standard_normal((left + right + 1, dh)) * 0.02,
                         jnp.float32)
     ref = np.asarray(
