@@ -192,3 +192,34 @@ def test_fused_cache_autosizes_for_large_documents(tmp_path, monkeypatch):
         assert embed_cache.max_rows == 2048
     finally:
         embed_cache.disable()
+
+
+def test_pipeline_forwards_mesh_flags(tmp_path, monkeypatch):
+    """--data_parallel reaches the align stage (only when != 1) and
+    --sharded_index reaches score_align."""
+    import svecalign_tpu.pipeline as pl
+
+    meta = tmp_path / "md.tsv"
+    meta.write_text("/a_en.ogg\t/a_de.ogg\n")
+
+    def run(extra):
+        calls = []
+        monkeypatch.setattr(pl, "_invoke",
+                            lambda mod, *argv: calls.append((mod, argv)))
+        monkeypatch.setattr(
+            "sys.argv",
+            ["pipeline", str(meta), str(tmp_path / "out"),
+             "--src_lang", "en", "--tgt_lang", "de",
+             "--stages", "align,score_align", *extra],
+        )
+        pl.main()
+        return {mod.rsplit(".", 1)[1]: argv for mod, argv in calls}
+
+    plain = run([])
+    assert "--data_parallel" not in plain["align"]
+    assert "--sharded_index" not in plain["score_align"]
+
+    meshy = run(["--data_parallel", "8", "--sharded_index"])
+    a = meshy["align"]
+    assert "--data_parallel" in a and a[a.index("--data_parallel") + 1] == "8"
+    assert "--sharded_index" in meshy["score_align"]
