@@ -364,36 +364,57 @@ class SpeechLaserModel:
                 w = w[:, 0]
             by_bucket.setdefault(self._bucket(len(w)), []).append((i, w))
 
+        chunks = []
         for bucket, items in sorted(by_bucket.items()):
             rows = self._rows_for_bucket(bucket)
             for chunk_start in range(0, len(items), rows):
-                chunk = items[chunk_start : chunk_start + rows]
-                fp32 = self.upload_dtype == "fp32"
-                padded = np.zeros(
-                    (rows, bucket), dtype=np.float32 if fp32 else np.int16
-                )
-                scales = np.ones((rows,), dtype=np.float32)
-                lengths = np.zeros((rows,), dtype=np.int32)
-                for row, (_, w) in enumerate(chunk):
-                    w = w[:bucket]
-                    if fp32:
-                        padded[row, : len(w)] = w
-                    else:
-                        peak = float(np.max(np.abs(w))) if len(w) else 0.0
-                        s = peak / 32767.0 if peak > 0 else 1.0
-                        padded[row, : len(w)] = np.rint(w / s).astype(np.int16)
-                        scales[row] = s
-                    lengths[row] = len(w)
-                emb = self._forward(
-                    self.params, jnp.asarray(padded), jnp.asarray(scales),
-                    jnp.asarray(lengths),
-                )
+                chunks.append((rows, bucket, items[chunk_start : chunk_start + rows]))
+
+        def stage(args):
+            """Pad + quantize + device_put one chunk. Runs on a worker
+            thread: in the tunnel's post-D2H mode device_put BLOCKS its
+            calling thread (CLAUDE.md), so same-thread staging would
+            serialize chunk i+1's upload with chunk i's dispatch."""
+            rows, bucket, chunk = args
+            fp32 = self.upload_dtype == "fp32"
+            padded = np.zeros((rows, bucket), dtype=np.float32 if fp32 else np.int16)
+            scales = np.ones((rows,), dtype=np.float32)
+            lengths = np.zeros((rows,), dtype=np.int32)
+            for row, (_, w) in enumerate(chunk):
+                w = w[:bucket]
+                if fp32:
+                    padded[row, : len(w)] = w
+                else:
+                    peak = float(np.max(np.abs(w))) if len(w) else 0.0
+                    s = peak / 32767.0 if peak > 0 else 1.0
+                    padded[row, : len(w)] = np.rint(w / s).astype(np.int16)
+                    scales[row] = s
+                lengths[row] = len(w)
+            return jnp.asarray(padded), jnp.asarray(scales), jnp.asarray(lengths)
+
+        # dispatch every chunk's forward with the staging double-buffered,
+        # and pull NOTHING until the end: the per-chunk np.asarray pull was
+        # the embed stage's real bottleneck (profiled: 10.6 of 11.8 s — each
+        # pull synced its chunk's forward, serializing the device).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = []  # (chunk, emb device handle)
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(stage, chunks[0]) if chunks else None
+            for ci, (rows, bucket, chunk) in enumerate(chunks):
+                padded, scales, lengths = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = ex.submit(stage, chunks[ci + 1])
+                emb = self._forward(self.params, padded, scales, lengths)
                 if dev is not None:
                     # out-of-range target rows (padding) drop on device
                     idx = np.full((rows,), np.iinfo(np.int32).max, np.int32)
                     idx[: len(chunk)] = [i for i, _ in chunk]
                     dev = _scatter_rows_fp16(dev, emb, jnp.asarray(idx))
-                emb = np.asarray(emb, dtype=np.float32)
-                for row, (i, _) in enumerate(chunk):
-                    out[i] = emb[row]
+                pending.append((chunk, emb))
+
+        for chunk, emb in pending:
+            emb = np.asarray(emb, dtype=np.float32)
+            for row, (i, _) in enumerate(chunk):
+                out[i] = emb[row]
         return (out, dev) if keep_device else out

@@ -280,31 +280,47 @@ class SonarSpeechModel:
             n_frames = 0 if len(w) < 400 else 1 + (len(w) - 400) // 160
             by_bucket.setdefault(self._bucket(n_frames), []).append((i, w, n_frames))
 
+        chunks = []
         for bucket, items in sorted(by_bucket.items()):
-            samples = 400 + (bucket - 1) * 160
             for chunk_start in range(0, len(items), self.batch_size):
-                chunk = items[chunk_start : chunk_start + self.batch_size]
-                fp32 = self.upload_dtype == "fp32"
-                padded = np.zeros(
-                    (self.batch_size, samples),
-                    dtype=np.float32 if fp32 else np.int16,
-                )
-                scales = np.ones((self.batch_size,), dtype=np.float32)
-                lengths = np.zeros((self.batch_size,), dtype=np.int32)
-                for row, (_, w, n_frames) in enumerate(chunk):
-                    w = w[:samples]
-                    if fp32:
-                        padded[row, : len(w)] = w
-                    else:
-                        peak = float(np.max(np.abs(w))) if len(w) else 0.0
-                        s = peak / 32767.0 if peak > 0 else 1.0
-                        padded[row, : len(w)] = np.rint(w / s).astype(np.int16)
-                        scales[row] = s
-                    lengths[row] = min(n_frames, bucket)
-                emb = self._forward(
-                    self.params, jnp.asarray(padded), jnp.asarray(scales),
-                    jnp.asarray(lengths), bucket,
-                )
+                chunks.append((bucket, items[chunk_start : chunk_start + self.batch_size]))
+
+        def stage(args):
+            """Pad + quantize + device_put one chunk on a worker thread
+            (device_put blocks its caller in the tunnel's post-D2H mode)."""
+            bucket, chunk = args
+            samples = 400 + (bucket - 1) * 160
+            fp32 = self.upload_dtype == "fp32"
+            padded = np.zeros(
+                (self.batch_size, samples), dtype=np.float32 if fp32 else np.int16
+            )
+            scales = np.ones((self.batch_size,), dtype=np.float32)
+            lengths = np.zeros((self.batch_size,), dtype=np.int32)
+            for row, (_, w, n_frames) in enumerate(chunk):
+                w = w[:samples]
+                if fp32:
+                    padded[row, : len(w)] = w
+                else:
+                    peak = float(np.max(np.abs(w))) if len(w) else 0.0
+                    s = peak / 32767.0 if peak > 0 else 1.0
+                    padded[row, : len(w)] = np.rint(w / s).astype(np.int16)
+                    scales[row] = s
+                lengths[row] = min(n_frames, bucket)
+            return jnp.asarray(padded), jnp.asarray(scales), jnp.asarray(lengths)
+
+        # double-buffered staging + deferred pulls, mirroring
+        # SpeechLaserModel.encode: the per-chunk np.asarray pull serialized
+        # the device (each sync waited for that chunk's forward)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = []
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(stage, chunks[0]) if chunks else None
+            for ci, (bucket, chunk) in enumerate(chunks):
+                padded, scales, lengths = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = ex.submit(stage, chunks[ci + 1])
+                emb = self._forward(self.params, padded, scales, lengths, bucket)
                 if dev is not None:
                     from svecalign_tpu.models.laser_encoder import _scatter_rows_fp16
 
@@ -312,7 +328,10 @@ class SonarSpeechModel:
                     idx = np.full((self.batch_size,), np.iinfo(np.int32).max, np.int32)
                     idx[: len(chunk)] = [i for i, *_ in chunk]
                     dev = _scatter_rows_fp16(dev, emb, jnp.asarray(idx))
-                emb = np.asarray(emb, dtype=np.float32)
-                for row, (i, *_ ) in enumerate(chunk):
-                    out[i] = emb[row]
+                pending.append((chunk, emb))
+
+        for chunk, emb in pending:
+            emb = np.asarray(emb, dtype=np.float32)
+            for row, (i, *_) in enumerate(chunk):
+                out[i] = emb[row]
         return (out, dev) if keep_device else out
