@@ -20,6 +20,7 @@ svecalign_tpu/parallel/mesh.py).
 """
 
 import dataclasses
+import time
 
 from typing import Optional
 
@@ -205,11 +206,35 @@ class LaserSpeechEncoder(nn.Module):
         return jnp.max(x, axis=1)
 
 
-@jax.jit
+# opt-in phase timers for encode() (tools/profile_embed.py): set to a dict
+# via start_encode_profile() and encode() accumulates per-phase wall time
+# into it. None (default) = zero-overhead off path.
+encode_profile = None
+
+
+def start_encode_profile() -> dict:
+    global encode_profile
+    encode_profile = {
+        "stage_wait_s": 0.0, "forward_dispatch_s": 0.0,
+        "scatter_dispatch_s": 0.0, "pull_s": 0.0,
+        "upload_bytes": 0, "chunks": 0, "rows": 0,
+    }
+    return encode_profile
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows_fp16(dev: jax.Array, emb: jax.Array, idx: jax.Array) -> jax.Array:
     """Scatter a batch's embeddings into the fused-pipeline device buffer as
     fp16 (the .embed file dtype, so the cached rows and the file agree
-    bit-for-bit). Out-of-range indices (batch padding) are dropped."""
+    bit-for-bit). Out-of-range indices (batch padding) are dropped.
+
+    ``dev`` is DONATED: the update happens in place instead of allocating a
+    fresh (max_rows, dim) buffer per chunk — on the tunneled single-core
+    host, every freed device buffer is client RPC work, and an hour-scale
+    fused encode would otherwise churn hundreds of ~32 MB buffers."""
     return dev.at[idx].set(emb.astype(jnp.float16), mode="drop")
 
 
@@ -225,10 +250,20 @@ class SpeechLaserModel:
     # the fused-pipeline handoff capability (utils/embed_cache.py)
     supports_keep_device = True
 
+    # encode_spans(): overlap windows are assembled ON DEVICE from one
+    # whole-waveform upload (the windows of one document overlap so heavily
+    # that uploading them padded costs ~31x the raw audio bytes — measured
+    # 243 MB staged for a 240 s document, tools/profile_embed.py)
+    supports_spans = True
+
     # length buckets (samples @16 kHz); segments pad up to the next bucket.
     # Few buckets on purpose: each distinct shape is one (slow, remote) XLA
     # compile, while padded compute is nearly free at these batch sizes.
     BUCKETS = (4 * 16000, 20 * 16000, 30 * 16000)
+
+    # whole-waveform upload buckets for encode_spans (seconds). Files
+    # longer than the largest bucket fall back to host slicing.
+    WAVE_BUCKETS_S = None  # None = ops.assemble.WAVE_BUCKETS_S
 
     def __init__(
         self,
@@ -269,6 +304,11 @@ class SpeechLaserModel:
 
         _apply_q = self._dequant_apply
 
+        # waveform/scales/lengths are single-use per chunk: donating them
+        # lets the runtime fold their release into the execution instead of
+        # issuing per-buffer client deletes (tens of ms each of single-core
+        # RPC work on the tunneled host, measured as multi-second stalls
+        # bleeding into the NEXT file's host phase — tools/profile_embed.py)
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -284,13 +324,14 @@ class SpeechLaserModel:
                     NamedSharding(mesh, P("data")),
                 ),
                 out_shardings=NamedSharding(mesh, P("data", None)),
+                donate_argnums=(1, 2, 3),
             )
             self._dp_rows = mesh.shape["data"]
         else:
             # keep params resident on the default (TPU) device — repeated
             # host->device transfer of the full tree dwarfs the forward pass
             self.params = jax.device_put(self.params)
-            self._forward = jax.jit(_apply_q)
+            self._forward = jax.jit(_apply_q, donate_argnums=(1, 2, 3))
             self._dp_rows = 1
 
     def _dequant_apply(self, params, wav_i16, scales, lengths):
@@ -326,6 +367,126 @@ class SpeechLaserModel:
             if n <= b:
                 return b
         return self.BUCKETS[-1]
+
+    def encode_spans(self, waveform, spans, keep_device: bool = False):
+        """Encode (start, end) sample spans of ONE waveform -> (N, dim).
+
+        Equivalent to ``encode([waveform[s:e] for s, e in spans])`` but the
+        waveform crosses the tunnel ONCE (per-block int16 + scales) and the
+        overlap windows are gathered into padded batches on device.
+        Measured rationale (tools/profile_embed.py): concat overlap windows
+        cover each sample ~13x and pad ~2.4x on top, so host staging
+        uploads ~31x the raw audio bytes (243 MB for a 240 s file; 1.9 GB
+        for a 30 min file) and the warm encode is tunnel-bound. Here the
+        upload is the raw audio plus (rows, 2) window indices.
+
+        int16 mode quantizes per 1 s block on upload and requantizes each
+        window per-row on device (~2x one int16 rounding, vs per-window
+        rounding host-side — noise well under encoder tolerance); fp32 mode
+        (--upload_precision fp32) is bit-exact with the host-sliced path.
+        Waveforms longer than WAVE_BUCKETS_S[-1] fall back to host slicing.
+        """
+        from svecalign_tpu.ops import assemble
+
+        waveform = np.asarray(waveform, dtype=np.float32)
+        if waveform.ndim == 2:
+            waveform = waveform[:, 0]
+        buckets_s = self.WAVE_BUCKETS_S or assemble.WAVE_BUCKETS_S
+        wave_len = next(
+            (b * 16000 for b in buckets_s if len(waveform) <= b * 16000), None
+        )
+        if wave_len is None:
+            logger.warning(
+                f"encode_spans: waveform of {len(waveform) / 16000:.0f} s exceeds "
+                f"the largest wave bucket ({buckets_s[-1]} s); "
+                "falling back to host-sliced encode()"
+            )
+            return self.encode(
+                [waveform[s:e] for s, e in spans], keep_device=keep_device
+            )
+
+        fp32 = self.upload_dtype == "fp32"
+        t0q = time.perf_counter()
+        wave_host, block_scales = assemble.quantize_wave(waveform, wave_len, fp32)
+        t0p = time.perf_counter()
+        # dequantize to a materialized padded f32 buffer ONCE per file —
+        # fused into the assembler this cost ~28 ms per chunk (see
+        # ops/assemble.py get_dequant)
+        slack = max(self.BUCKETS)
+        wave_dev = assemble.get_dequant(wave_len, slack)(
+            jnp.asarray(wave_host), jnp.asarray(block_scales)
+        )
+        if encode_profile is not None:
+            encode_profile["wave_quant_s"] = t0p - t0q
+            encode_profile["wave_put_s"] = time.perf_counter() - t0p
+
+        out = np.zeros((len(spans), self.config.encoder_dim), dtype=np.float32)
+        dev = None
+        if keep_device:
+            from svecalign_tpu.utils import embed_cache
+
+            if len(spans) <= embed_cache.max_rows:
+                dev = jnp.zeros(
+                    (embed_cache.max_rows, self.config.encoder_dim), jnp.float16
+                )
+
+        by_bucket: dict = {}
+        for i, (s, e) in enumerate(spans):
+            by_bucket.setdefault(self._bucket(e - s), []).append((i, s, e - s))
+        chunks = []
+        for bucket, items in sorted(by_bucket.items()):
+            rows = self._rows_for_bucket(bucket)
+            for c0 in range(0, len(items), rows):
+                chunks.append((rows, bucket, items[c0 : c0 + rows]))
+
+        def stage(args):
+            """device_put one chunk's (rows, 3) [start, n_samples, out_len]
+            indices on a worker thread (puts block their caller in the
+            tunnel's post-D2H mode; tiny as they are, ~25 ms each adds up)."""
+            rows, bucket, chunk = args
+            idx = np.zeros((rows, 3), np.int32)
+            for row, (_, s, ln) in enumerate(chunk):
+                idx[row] = (s, ln, min(ln, bucket))
+            return jnp.asarray(idx)
+
+        prof = encode_profile
+        t = time.perf_counter
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = []
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(stage, chunks[0]) if chunks else None
+            for ci, (rows, bucket, chunk) in enumerate(chunks):
+                t0 = t()
+                idx_dev = fut.result()
+                if prof is not None:
+                    prof["stage_wait_s"] += t() - t0
+                    prof["upload_bytes"] += idx_dev.nbytes
+                    prof["chunks"] += 1
+                if ci + 1 < len(chunks):
+                    fut = ex.submit(stage, chunks[ci + 1])
+                t0 = t()
+                asm = assemble.get_assembler(wave_len + slack, bucket, fp32)
+                rows_q, row_scales, lengths = asm(wave_dev, idx_dev)
+                emb = self._forward(self.params, rows_q, row_scales, lengths)
+                if prof is not None:
+                    prof["forward_dispatch_s"] += t() - t0
+                if dev is not None:
+                    tgt = np.full((rows,), np.iinfo(np.int32).max, np.int32)
+                    tgt[: len(chunk)] = [i for i, _, _ in chunk]
+                    dev = _scatter_rows_fp16(dev, emb, jnp.asarray(tgt))
+                pending.append((chunk, emb))
+
+        t0 = t()
+        for chunk, emb in pending:
+            emb = np.asarray(emb, dtype=np.float32)
+            for row, (i, _, _) in enumerate(chunk):
+                out[i] = emb[row]
+        if prof is not None:
+            prof["pull_s"] += t() - t0
+            prof["rows"] += len(spans)
+            prof["upload_bytes"] += wave_host.nbytes + block_scales.nbytes
+        return (out, dev) if keep_device else out
 
     def _rows_for_bucket(self, bucket: int) -> int:
         rows = max(1, self.max_tokens // bucket)
@@ -398,23 +559,42 @@ class SpeechLaserModel:
         # pull synced its chunk's forward, serializing the device).
         from concurrent.futures import ThreadPoolExecutor
 
+        prof = encode_profile  # module-level phase timers (None = off)
+        t = time.perf_counter
         pending = []  # (chunk, emb device handle)
         with ThreadPoolExecutor(1) as ex:
             fut = ex.submit(stage, chunks[0]) if chunks else None
             for ci, (rows, bucket, chunk) in enumerate(chunks):
+                t0 = t()
                 padded, scales, lengths = fut.result()
+                if prof is not None:
+                    prof["stage_wait_s"] += t() - t0
+                    prof["upload_bytes"] += (
+                        padded.nbytes + scales.nbytes + lengths.nbytes
+                    )
+                    prof["chunks"] += 1
                 if ci + 1 < len(chunks):
                     fut = ex.submit(stage, chunks[ci + 1])
+                t0 = t()
                 emb = self._forward(self.params, padded, scales, lengths)
+                if prof is not None:
+                    prof["forward_dispatch_s"] += t() - t0
                 if dev is not None:
                     # out-of-range target rows (padding) drop on device
                     idx = np.full((rows,), np.iinfo(np.int32).max, np.int32)
                     idx[: len(chunk)] = [i for i, _ in chunk]
+                    t0 = t()
                     dev = _scatter_rows_fp16(dev, emb, jnp.asarray(idx))
+                    if prof is not None:
+                        prof["scatter_dispatch_s"] += t() - t0
                 pending.append((chunk, emb))
 
+        t0 = t()
         for chunk, emb in pending:
             emb = np.asarray(emb, dtype=np.float32)
             for row, (i, _) in enumerate(chunk):
                 out[i] = emb[row]
+        if prof is not None:
+            prof["pull_s"] += t() - t0
+            prof["rows"] += len(waveforms)
         return (out, dev) if keep_device else out

@@ -162,6 +162,12 @@ class SonarSpeechModel:
     # the fused-pipeline handoff capability (utils/embed_cache.py)
     supports_keep_device = True
 
+    # encode_spans(): overlap windows assembled on device from one
+    # whole-waveform upload (ops/assemble.py — heavily overlapping windows
+    # make host staging upload ~31x the raw audio bytes)
+    supports_spans = True
+    WAVE_BUCKETS_S = None  # None = ops.assemble.WAVE_BUCKETS_S
+
     BUCKET_FRAMES = (200, 500, 1000, 2000, 3000)  # 10 ms frames (pre-stack)
 
     def __init__(
@@ -234,7 +240,10 @@ class SonarSpeechModel:
 
         from functools import partial as _partial
 
-        @_partial(jax.jit, static_argnames=("n_frames",))
+        # wav/scales/lengths are single-use per chunk: donation folds their
+        # release into the execution (see SpeechLaserModel.__init__)
+        @_partial(jax.jit, static_argnames=("n_frames",),
+                  donate_argnums=(1, 2, 3))
         def _apply_wav(params, wav, scales, lengths, n_frames):
             # int16 upload + device dequant (fp32 inputs pass through with
             # scale 1.0); fbank + normalization + stacking fused into the
@@ -252,6 +261,106 @@ class SonarSpeechModel:
             if n <= b:
                 return b
         return self.BUCKET_FRAMES[-1]
+
+    def encode_spans(self, waveform, spans, keep_device: bool = False):
+        """Encode (start, end) sample spans of ONE waveform -> (N, dim).
+
+        Equivalent to ``encode([waveform[s:e] for s, e in spans])`` with the
+        waveform crossing the tunnel once and the overlap windows gathered
+        into padded batches on device (ops/assemble.py; see
+        SpeechLaserModel.encode_spans for the measured rationale). fp32
+        upload mode is bit-exact with the host-sliced path; int16 differs
+        by ~one quantization step. Falls back to host slicing for
+        waveforms longer than the largest wave bucket.
+        """
+        from svecalign_tpu.ops import assemble
+
+        waveform = np.asarray(waveform, dtype=np.float32)
+        if waveform.ndim == 2:
+            waveform = waveform[:, 0]
+        buckets_s = self.WAVE_BUCKETS_S or assemble.WAVE_BUCKETS_S
+        wave_len = next(
+            (b * 16000 for b in buckets_s if len(waveform) <= b * 16000), None
+        )
+        if wave_len is None:
+            logger.warning(
+                f"encode_spans: waveform of {len(waveform) / 16000:.0f} s "
+                f"exceeds the largest wave bucket ({buckets_s[-1]} s); "
+                "falling back to host-sliced encode()"
+            )
+            return self.encode(
+                [waveform[s:e] for s, e in spans], keep_device=keep_device
+            )
+
+        fp32 = self.upload_dtype == "fp32"
+        wave_host, block_scales = assemble.quantize_wave(waveform, wave_len, fp32)
+        # materialized f32 dequant ONCE per file (ops/assemble.get_dequant)
+        slack = 400 + (self.BUCKET_FRAMES[-1] - 1) * 160
+        wave_dev = assemble.get_dequant(wave_len, slack)(
+            jnp.asarray(wave_host), jnp.asarray(block_scales)
+        )
+
+        out = np.zeros((len(spans), self.config.pool_dim), dtype=np.float32)
+        dev = None
+        if keep_device:
+            from svecalign_tpu.utils import embed_cache
+
+            if len(spans) <= embed_cache.max_rows:
+                dev = jnp.zeros(
+                    (embed_cache.max_rows, self.config.pool_dim), jnp.float16
+                )
+
+        by_bucket: dict = {}
+        for i, (s, e) in enumerate(spans):
+            ln = e - s
+            n_frames = 0 if ln < 400 else 1 + (ln - 400) // 160
+            by_bucket.setdefault(self._bucket(n_frames), []).append(
+                (i, s, ln, n_frames)
+            )
+        chunks = []
+        for bucket, items in sorted(by_bucket.items()):
+            for c0 in range(0, len(items), self.batch_size):
+                chunks.append((bucket, items[c0 : c0 + self.batch_size]))
+
+        def stage(args):
+            """device_put one chunk's (rows, 3) [start, n_samples,
+            n_frames] indices on a worker thread (puts block their caller
+            in the tunnel's post-D2H mode)."""
+            bucket, chunk = args
+            samples = 400 + (bucket - 1) * 160
+            idx = np.zeros((self.batch_size, 3), np.int32)
+            for row, (_, s, ln, nf) in enumerate(chunk):
+                idx[row] = (s, min(ln, samples), min(nf, bucket))
+            return jnp.asarray(idx)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = []
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(stage, chunks[0]) if chunks else None
+            for ci, (bucket, chunk) in enumerate(chunks):
+                idx_dev = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = ex.submit(stage, chunks[ci + 1])
+                samples = 400 + (bucket - 1) * 160
+                asm = assemble.get_assembler(wave_len + slack, samples, fp32)
+                rows_q, row_scales, lengths = asm(wave_dev, idx_dev)
+                emb = self._forward(self.params, rows_q, row_scales, lengths, bucket)
+                if dev is not None:
+                    from svecalign_tpu.models.laser_encoder import _scatter_rows_fp16
+
+                    tgt = np.full(
+                        (self.batch_size,), np.iinfo(np.int32).max, np.int32
+                    )
+                    tgt[: len(chunk)] = [i for i, *_ in chunk]
+                    dev = _scatter_rows_fp16(dev, emb, jnp.asarray(tgt))
+                pending.append((chunk, emb))
+
+        for chunk, emb in pending:
+            emb = np.asarray(emb, dtype=np.float32)
+            for row, (i, *_) in enumerate(chunk):
+                out[i] = emb[row]
+        return (out, dev) if keep_device else out
 
     def encode(self, waveforms, keep_device: bool = False):
         """Encode waveforms -> (N, pool_dim) float32.

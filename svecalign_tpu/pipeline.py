@@ -83,6 +83,21 @@ def parse_args():
                              "15-45x slower file+upload path. 0 (default) = "
                              "auto-size from the concat files right before the "
                              "embed stage, so hour-scale documents stay fused.")
+    parser.add_argument("--embed_max_tokens", type=int, default=600 * 16000,
+                        help="embed-stage batch size in SAMPLES (the stage "
+                             "CLI's --max_tokens keeps the reference default "
+                             "150 s). 600 s quarters the per-chunk program "
+                             "launches and buffer-deletion RPCs, which are "
+                             "what the tunneled single-core host actually "
+                             "pays per chunk (measured: 20-s-bucket batch "
+                             "rows 7 -> 28, file pull phase 4.3 -> 3.5 s).")
+    parser.add_argument("--window_assembly", type=str, default="device",
+                        choices=["device", "host"],
+                        help="embed stages: 'device' uploads each waveform "
+                             "once and gathers the overlap windows on device "
+                             "(~31x fewer upload bytes); 'host' stages every "
+                             "padded window batch from the host (round-2 "
+                             "path, bit-identical under fp32 uploads).")
     parser.add_argument("--max_cost", type=float, default=0.7)
     parser.add_argument("--max_num_align", type=int, default=3)
     parser.add_argument("--min_dur", type=float, default=1.0)
@@ -207,6 +222,8 @@ def main():
                 ck = ["--sl_ckpt_dir", args.sl_ckpt_dir, "--sl_ckpt_name", name]
             _invoke("svecalign_tpu.seg_align.embed", meta, emb, "--concat_dir", cat,
                     "--lang", lang, "--embed_model_type", args.embed_model_type,
+                    "--window_assembly", args.window_assembly,
+                    "--max_tokens", str(args.embed_max_tokens),
                     *ck, *shard, *tgt)
     if "align" in stages:
         # SONAR writes headerless raw fp16 (embed stage default): align must
@@ -245,10 +262,14 @@ def main():
             ck = []
             if args.sl_ckpt_dir and name:
                 ck = ["--sl_ckpt_dir", args.sl_ckpt_dir, "--sl_ckpt_name", name]
+            # same --max_tokens as the embed stage, or load_embed_model's
+            # memo misses and a SECOND encoder (params + compiles) is built
             _invoke("svecalign_tpu.postprocess.embed_align", meta, ali_emb, *langs,
                     "--align_dir", ali_min, "--seg_dir", seg,
                     "--concat_seg_dir", cat, "--concat_seg_embed_dir", emb,
-                    "--embed_model_type", args.embed_model_type, *ck, *tgt)
+                    "--embed_model_type", args.embed_model_type,
+                    "--window_assembly", args.window_assembly,
+                    "--max_tokens", str(args.embed_max_tokens), *ck, *tgt)
     if "prep_index" in stages:
         for tgt in ([], ["--use_tgt"]):
             _invoke("svecalign_tpu.postprocess.prep_index", meta, ali_idx,

@@ -171,6 +171,7 @@ def main():
                 str(tmp_embed),
                 fp16=not args.embed_fp32,
                 cache_key=str(embed_out_path),
+                window_assembly=args.window_assembly,
             )
             tmp_embed.replace(embed_out_path)
 

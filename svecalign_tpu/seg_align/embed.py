@@ -102,6 +102,7 @@ def main():
             fp16=not embed_fp32,
             # fused pipeline: keep the rows on device under the FINAL path
             cache_key=str(embed_out_path),
+            window_assembly=args.window_assembly,
         )
         tmp_out_path.replace(embed_out_path)
     logger.info("Finished!")

@@ -47,6 +47,17 @@ def add_embed_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         help="waveform/feature host->device upload precision: "
                              "int16 halves bytes over the tunnel (~3e-5 input "
                              "noise); fp32 is the exact path for parity runs.")
+    parser.add_argument("--window_assembly", type=str, default="device",
+                        choices=["device", "host"],
+                        help="how overlap-window batches are built: 'device' "
+                             "uploads each waveform once and gathers the "
+                             "(heavily overlapping) windows on device — "
+                             "~31x fewer upload bytes, measured "
+                             "(tools/profile_embed.py); 'host' slices and "
+                             "stages every padded window batch host-side "
+                             "(the round-2 path). With --upload_precision "
+                             "fp32 both modes are bit-identical; with int16 "
+                             "they differ by ~one quantization step.")
     return parser
 
 
@@ -141,6 +152,7 @@ def embed_segments_to_file(
     out_path: str,
     fp16: bool = True,
     cache_key: str = None,
+    window_assembly: str = "device",
 ) -> np.ndarray:
     """Embed all segments of one audio and write the .embed file.
 
@@ -151,21 +163,37 @@ def embed_segments_to_file(
     (utils/embed_cache.py), also keep the rows on device under this key —
     normally the FINAL .embed path (``out_path`` is the tmp file) — so the
     align stage skips the read+re-upload.
+
+    ``window_assembly="device"``: upload the waveform once and gather the
+    overlap windows on device via ``encode_spans`` (see --window_assembly
+    help); "host" keeps the round-2 slice-and-stage path.
     """
     from svecalign_tpu.utils import embed_cache
 
-    wavs = slice_segments(wave_path, segments)
     fused = (
         embed_cache.enabled
         and cache_key is not None
         and fp16  # the cached device rows are fp16: they must equal the file
         and getattr(embed_model, "supports_keep_device", False)
     )
-    if fused:
-        emb, dev = embed_model.encode(wavs, keep_device=True)
+    if window_assembly == "device" and getattr(
+        embed_model, "supports_spans", False
+    ):
+        waveform = load_waveform(wave_path, sr=SAMPLE_RATE)
+        if fused:
+            emb, dev = embed_model.encode_spans(
+                waveform, segments, keep_device=True
+            )
+            embed_cache.put(cache_key, emb.shape[0], dev)
+        else:
+            emb = embed_model.encode_spans(waveform, segments)
+    elif fused:
+        emb, dev = embed_model.encode(
+            slice_segments(wave_path, segments), keep_device=True
+        )
         embed_cache.put(cache_key, emb.shape[0], dev)
     else:
-        emb = embed_model.encode(wavs)
+        emb = embed_model.encode(slice_segments(wave_path, segments))
     if embed_model_type == "speech_laser":
         write_stopes_embedding(emb, out_path, fp16=fp16)
     else:

@@ -1,0 +1,139 @@
+"""Device-side overlap-window assembly (ops/assemble.py, encode_spans).
+
+The contract: ``encode_spans(wave, spans)`` must equal
+``encode([wave[s:e] for s, e in spans])`` — bit-exactly in fp32 upload
+mode, and within quantization noise in int16 mode (the two paths round at
+different points: per-window host-side vs per-block + per-row re-quantize
+device-side).
+"""
+
+import numpy as np
+import pytest
+
+from svecalign_tpu.models.laser_encoder import SpeechLaserModel
+from svecalign_tpu.models.sonar_encoder import SonarSpeechModel
+from tests.test_models import TINY_LASER, TINY_SONAR
+
+
+def _wave(seconds=40, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (0.3 * rng.standard_normal(seconds * 16000)).astype(np.float32)
+    # a quiet stretch so per-block quantization actually differs from
+    # per-window scaling
+    w[20 * 16000 : 25 * 16000] *= 0.01
+    return w
+
+
+SPANS = [
+    (0, 16000),            # exactly the small bucket
+    (8000, 38000),         # crosses block boundaries
+    (30000, 55000),        # mid-file
+    (20 * 16000, 20 * 16000 + 24000),  # quiet region
+    (600000, 624000),      # tail
+    (632000, 640000),      # runs to the last sample
+]
+
+
+def _laser(dtype):
+    m = SpeechLaserModel(config=TINY_LASER, max_tokens=4 * 32000,
+                         upload_dtype=dtype)
+    m.BUCKETS = (16000, 32000)
+    m.WAVE_BUCKETS_S = (10, 41)
+    return m
+
+
+def test_laser_spans_fp32_bit_exact():
+    m = _laser("fp32")
+    w = _wave()
+    host = m.encode([w[s:e] for s, e in SPANS])
+    dev = m.encode_spans(w, SPANS)
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_laser_spans_int16_close():
+    m = _laser("int16")
+    w = _wave()
+    host = m.encode([w[s:e] for s, e in SPANS])
+    dev = m.encode_spans(w, SPANS)
+    scale = np.abs(host).max()
+    # different quantization arrangements; random weights amplify the
+    # ~1-step input noise, so the bound is loose but catches real bugs
+    # (wrong slice/mask/scale all produce O(1) relative error)
+    assert np.abs(host - dev).max() < 0.05 * scale
+
+
+def test_laser_spans_keep_device_matches_encode():
+    from svecalign_tpu.utils import embed_cache
+
+    m = _laser("fp32")
+    w = _wave()
+    old = embed_cache.enabled
+    embed_cache.enabled = True
+    try:
+        e1, dev1 = m.encode([w[s:e] for s, e in SPANS], keep_device=True)
+        e2, dev2 = m.encode_spans(w, SPANS, keep_device=True)
+    finally:
+        embed_cache.enabled = old
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(np.asarray(dev1), np.asarray(dev2))
+
+
+def test_laser_spans_long_wave_fallback(caplog):
+    m = _laser("fp32")
+    m.WAVE_BUCKETS_S = (1,)  # force every real file past the largest bucket
+    w = _wave()
+    host = m.encode([w[s:e] for s, e in SPANS])
+    dev = m.encode_spans(w, SPANS)
+    np.testing.assert_array_equal(host, dev)
+
+
+def _sonar(dtype):
+    m = SonarSpeechModel(config=TINY_SONAR, batch_size=4, upload_dtype=dtype)
+    m.BUCKET_FRAMES = (100, 250)
+    m.WAVE_BUCKETS_S = (10, 41)
+    return m
+
+
+def test_sonar_spans_fp32_bit_exact():
+    m = _sonar("fp32")
+    w = _wave()
+    host = m.encode([w[s:e] for s, e in SPANS])
+    dev = m.encode_spans(w, SPANS)
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_sonar_spans_int16_close():
+    m = _sonar("int16")
+    w = _wave()
+    host = m.encode([w[s:e] for s, e in SPANS])
+    dev = m.encode_spans(w, SPANS)
+    scale = np.abs(host).max()
+    assert np.abs(host - dev).max() < 0.05 * scale
+
+
+def test_embed_segments_to_file_device_vs_host(tmp_path):
+    """The stage-level integration: window_assembly device == host on the
+    fp32 path, through the .embed file format."""
+    from svecalign_tpu.utils import embed_model_utils as emu
+
+    w = _wave(seconds=8)
+    wav_path = tmp_path / "a.wav"
+    from svecalign_tpu.utils import audio_io
+
+    audio_io.write(str(wav_path), w, 16000)
+    segments = [(0, 16000), (8000, 30000), (16000, 32000), (100000, 127000)]
+
+    m = _laser("fp32")
+    out_host = tmp_path / "host.embed"
+    out_dev = tmp_path / "dev.embed"
+    emu.embed_segments_to_file(
+        m, "speech_laser", str(wav_path), segments, str(out_host),
+        window_assembly="host",
+    )
+    emu.embed_segments_to_file(
+        m, "speech_laser", str(wav_path), segments, str(out_dev),
+        window_assembly="device",
+    )
+    a = np.load(out_host)  # stopes-format fp16 .npy
+    b = np.load(out_dev)
+    np.testing.assert_array_equal(a, b)
