@@ -437,6 +437,53 @@ def run_sonar(n_iters: int = 4):
     return tokens_per_sec, mfu
 
 
+def run_embed_file(n_warm: int = 3):
+    """Sustained file-embed throughput on the production path: one 240 s
+    document's overlap windows through encode_spans (device-side window
+    assembly, pipeline defaults: int16 block-quantized upload, max_tokens
+    600 s). Wall-clock e2e per file — upload + assembly + forwards + pulls
+    — NOT a scan slope: the tunnel is part of what this path optimizes
+    (round-2 host staging uploaded ~31x the raw audio bytes and the embed
+    stage was 91%% of sustained e2e wall, BASELINE.md).
+
+    Returns (seconds per file best-of-N, audio-hours embedded per wall-hour
+    at that rate)."""
+    from svecalign_tpu.utils.embed_model_utils import load_embed_model
+
+    seconds = 240.0
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wave = np.zeros(int(seconds * sr), np.float32)
+    # speech-shaped bursts + gaps, same generator family as
+    # tools/rehearse_corpus.py, so the windows match rehearsal statistics
+    t = 0.0
+    segs = []
+    while t < seconds - 3.0:
+        burst, gap = rng.uniform(0.4, 2.4), rng.uniform(0.3, 1.2)
+        i0, i1 = int(t * sr), min(int((t + burst) * sr), len(wave))
+        wave[i0:i1] = 0.35 * rng.standard_normal(i1 - i0).astype(np.float32)
+        segs.append((i0, i1))
+        t += burst + gap
+    # overlap windows exactly as seg_align/concat_segs.py (5 overlaps, 20 s)
+    spans = []
+    for i, (s, _) in enumerate(segs):
+        for j in range(5):
+            if i + j >= len(segs):
+                break
+            if segs[i + j][1] - s > 20 * sr:
+                break
+            spans.append((s, segs[i + j][1]))
+
+    model = load_embed_model("speech_laser", max_tokens=600 * sr)
+    model.encode_spans(wave, spans)  # compile + warm
+    best = np.inf
+    for _ in range(n_warm):
+        t0 = time.perf_counter()
+        model.encode_spans(wave, spans)
+        best = min(best, time.perf_counter() - t0)
+    return best, (seconds / 3600.0) / (best / 3600.0)
+
+
 def run_knn(n_iters: int = 5):
     """Exact kNN q/s over a device-resident corpus (the score_align hot
     op): 256k x 1024 fp16 corpus, 4096-query batches, k=16. The search
@@ -510,6 +557,7 @@ def main():
     baseline = run_oracle_baseline(stack, v0, v1)
     enc_tokens, enc_mfu, enc_rtf = run_encoder()
     sonar_tokens, sonar_mfu = run_sonar()
+    embed_file_s, embed_audio_rate = run_embed_file()
     knn_qps, knn_qps16, knn_qps_dev, knn_tflops = run_knn()
 
     # DP cells/sec: total banded cells (types x A x B) + dense cells, per second
@@ -553,6 +601,8 @@ def main():
         "encoder_audio_rtf": round(enc_rtf, 1),
         "sonar_tokens_per_sec": round(sonar_tokens, 1),
         "sonar_mfu_pct": round(100 * sonar_mfu, 2),
+        "embed_file_240s_seconds": round(embed_file_s, 3),
+        "embed_audio_hours_per_hour": round(embed_audio_rate, 1),
         "knn_queries_per_sec": round(knn_qps, 1),
         "knn_fp16_upload_queries_per_sec": round(knn_qps16, 1),
         "knn_device_query_queries_per_sec": round(knn_qps_dev, 1),

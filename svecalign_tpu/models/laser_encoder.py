@@ -432,7 +432,11 @@ class SpeechLaserModel:
 
         by_bucket: dict = {}
         for i, (s, e) in enumerate(spans):
-            by_bucket.setdefault(self._bucket(e - s), []).append((i, s, e - s))
+            # clamp to the waveform like host slicing (waveform[s:e] is
+            # short when e overruns the file; the forward's frame mask must
+            # see the same length)
+            ln = max(min(e, len(waveform)) - s, 0)
+            by_bucket.setdefault(self._bucket(ln), []).append((i, s, ln))
         chunks = []
         for bucket, items in sorted(by_bucket.items()):
             rows = self._rows_for_bucket(bucket)

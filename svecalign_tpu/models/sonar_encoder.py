@@ -312,7 +312,8 @@ class SonarSpeechModel:
 
         by_bucket: dict = {}
         for i, (s, e) in enumerate(spans):
-            ln = e - s
+            # clamp to the waveform like host slicing (see laser encoder)
+            ln = max(min(e, len(waveform)) - s, 0)
             n_frames = 0 if ln < 400 else 1 + (ln - 400) // 160
             by_bucket.setdefault(self._bucket(n_frames), []).append(
                 (i, s, ln, n_frames)

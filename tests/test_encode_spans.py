@@ -31,6 +31,7 @@ SPANS = [
     (20 * 16000, 20 * 16000 + 24000),  # quiet region
     (600000, 624000),      # tail
     (632000, 640000),      # runs to the last sample
+    (632000, 700000),      # overruns the file end (host slicing truncates)
 ]
 
 
