@@ -257,9 +257,14 @@ class SpeechLaserModel:
     supports_spans = True
 
     # length buckets (samples @16 kHz); segments pad up to the next bucket.
-    # Few buckets on purpose: each distinct shape is one (slow, remote) XLA
-    # compile, while padded compute is nearly free at these batch sizes.
-    BUCKETS = (4 * 16000, 20 * 16000, 30 * 16000)
+    # Each distinct shape is one (slow, remote) XLA compile, but padded
+    # compute is NOT free: overlap windows averaged 8-10 s, so the round-2
+    # set (4, 20, 30) padded ~2.4x and the padding was real device time.
+    # Adding 8 s and 14 s halved the hour-file encode (39.6 -> 20.2 s
+    # device time, same-window A/B via tools/profile_embed.py
+    # --ab_buckets); the two extra compiles are lazy (only shapes actually
+    # seen compile).
+    BUCKETS = (4 * 16000, 8 * 16000, 14 * 16000, 20 * 16000, 30 * 16000)
 
     # whole-waveform upload buckets for encode_spans (seconds). Files
     # longer than the largest bucket fall back to host slicing.
