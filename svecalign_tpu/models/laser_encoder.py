@@ -383,7 +383,7 @@ class SpeechLaserModel:
         cover each sample ~13x and pad ~2.4x on top, so host staging
         uploads ~31x the raw audio bytes (243 MB for a 240 s file; 1.9 GB
         for a 30 min file) and the warm encode is tunnel-bound. Here the
-        upload is the raw audio plus (rows, 2) window indices.
+        upload is the raw audio plus (rows, 3) window indices.
 
         int16 mode quantizes per 1 s block on upload and requantizes each
         window per-row on device (~2x one int16 rounding, vs per-window
