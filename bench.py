@@ -474,7 +474,11 @@ def run_embed_file(n_warm: int = 3):
                 break
             spans.append((s, segs[i + j][1]))
 
-    model = load_embed_model("speech_laser", max_tokens=600 * sr)
+    # 150 s batches, not the pipeline's 600 s: the four bucket programs at
+    # 600 s (rows up to 150) cost several extra minutes of cold axon
+    # compile per bench run for a slightly rosier number; 150 s measures
+    # the same path with modest compiles (UNDER-states production rate)
+    model = load_embed_model("speech_laser", max_tokens=150 * sr)
     model.encode_spans(wave, spans)  # compile + warm
     best = np.inf
     for _ in range(n_warm):
@@ -530,12 +534,24 @@ def run_knn(n_iters: int = 5):
     return qps, qps16, qps_dev, tflops
 
 
+_phase_t0 = time.perf_counter()
+
+
+def _phase(name: str) -> None:
+    """Progress marker on stderr (the driver only parses the stdout JSON);
+    a timed-out bench run is undebuggable without these."""
+    print(f"[bench +{time.perf_counter() - _phase_t0:7.1f}s] {name}",
+          file=sys.stderr, flush=True)
+
+
 def main():
+    _phase("run_align")
     stack, ours, (v0, v1) = run_align()
     from svecalign_tpu.vecalign import batch as batch_mod
 
     batch_mod.upload_stats["bytes"] = 0
     batch_mod.upload_stats["buckets"] = 0
+    _phase("run_batched")
     batched = run_batched(v0, v1)
     # 4 iters x 4 buckets x 32 pairs staged in run_batched (+1 warmup)
     staged_pairs = batch_mod.upload_stats["buckets"] * 32
@@ -546,19 +562,29 @@ def main():
     # indistinguishable from mid-bench tunnel degradation; alternating
     # trials share tunnel state (and the int4 unpack is now a half-block
     # concat instead of a lane-shuffling interleave)
+    _phase("run_batched_ab")
     batched_ab8, batched4 = run_batched_ab(v0, v1)
     batched = min(batched, batched_ab8)
     # fused sweep: the headline is the BEST pair batch, so the driver JSON
     # records the number the docs claim (round-2 gap: docs said batch 64,
     # bench only ran 32)
-    fused_sweep = {b: run_fused(batch=b, n_iters=2) for b in (32, 64, 128)}
+    fused_sweep = {}
+    for b in (32, 64, 128):
+        _phase(f"run_fused batch={b}")
+        fused_sweep[b] = run_fused(batch=b, n_iters=2)
     fused_batch = min(fused_sweep, key=lambda b: fused_sweep[b])
     fused = fused_sweep[fused_batch]
+    _phase("run_oracle_baseline")
     baseline = run_oracle_baseline(stack, v0, v1)
+    _phase("run_encoder")
     enc_tokens, enc_mfu, enc_rtf = run_encoder()
+    _phase("run_sonar")
     sonar_tokens, sonar_mfu = run_sonar()
+    _phase("run_embed_file")
     embed_file_s, embed_audio_rate = run_embed_file()
+    _phase("run_knn")
     knn_qps, knn_qps16, knn_qps_dev, knn_tflops = run_knn()
+    _phase("done")
 
     # DP cells/sec: total banded cells (types x A x B) + dense cells, per second
     cells = 0

@@ -149,6 +149,35 @@ def test_pipeline_format_flags_follow_embedder(tmp_path, monkeypatch):
     assert "--embed_fp16" in sonar["prep_index"]
 
 
+def test_pipeline_embed_stages_share_one_encoder(tmp_path, monkeypatch):
+    """embed and embed_align must be invoked with IDENTICAL --max_tokens
+    (and --window_assembly): load_embed_model memoizes on the full
+    argument tuple, so a mismatch silently builds a SECOND encoder —
+    double param HBM and a fresh set of 20-300 s axon compiles."""
+    import svecalign_tpu.pipeline as pl
+
+    meta = tmp_path / "md.tsv"
+    meta.write_text("/a_en.ogg\t/a_de.ogg\n")
+
+    calls = []
+    monkeypatch.setattr(pl, "_invoke",
+                        lambda mod, *argv: calls.append((mod, argv)))
+    monkeypatch.setattr(
+        "sys.argv",
+        ["pipeline", str(meta), str(tmp_path / "out"),
+         "--src_lang", "en", "--tgt_lang", "de",
+         "--stages", "embed,embed_align"],
+    )
+    pl.main()
+    by_stage = {mod.rsplit(".", 1)[1]: argv for mod, argv in calls}
+
+    def flag(argv, name):
+        return argv[argv.index(name) + 1]
+
+    for name in ("--max_tokens", "--window_assembly"):
+        assert flag(by_stage["embed"], name) == flag(by_stage["embed_align"], name)
+
+
 def test_fused_cache_autosizes_for_large_documents(tmp_path, monkeypatch):
     """pipeline --fused (default auto rows) must raise the cache cap from
     the concat files before the embed stage — a >4096-row document would

@@ -40,6 +40,12 @@ def main():
                          "rep with device assembly, e.g. '150:480' — "
                          "measures whether bigger batches amortize the "
                          "per-chunk dispatch overhead")
+    ap.add_argument("--ab_gc", action="store_true", default=False,
+                    help="alternate Python GC disabled/enabled per rep in "
+                         "device mode — tests whether the multi-second "
+                         "host stalls between encodes are gen2 GC passes "
+                         "over jax's trace caches rather than client RPC "
+                         "work")
     ap.add_argument("--ab_buckets", type=str, default=None,
                     help="two window-bucket sets (seconds) to alternate per "
                          "rep, e.g. '4,20,30:4,8,14,20,30' — measures the "
@@ -68,6 +74,8 @@ def main():
             for part in args.ab_buckets.split(":")
         ]
         modes = [f"device/buckets={i}" for i in range(len(bucket_sets))]
+    if args.ab_gc:
+        modes = ["device/gc=on", "device/gc=off"]
     models = None
     if args.ab_max_tokens:
         secs = [int(x) for x in args.ab_max_tokens.split(":")]
@@ -87,6 +95,10 @@ def main():
                 model.BUCKETS = bucket_sets[mi]
             if models is not None:
                 model = models[mi]
+            if args.ab_gc:
+                import gc
+
+                gc.disable() if mode.endswith("off") else gc.enable()
             # ambient host-CPU probe: a fixed numpy op (~5 passes over
             # 15 MB). If THIS is slow, host compute in general is being
             # starved (axon client teardown of the previous encode's
