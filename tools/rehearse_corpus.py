@@ -93,6 +93,8 @@ def main():
     ap.add_argument("--small_sec", type=float, default=240.0)
     ap.add_argument("--hour_sec", type=float, default=1800.0)
     ap.add_argument("--pair_batch", type=int, default=16)
+    ap.add_argument("--embed_model_type", type=str, default="speech_laser",
+                    choices=["speech_laser", "sonar"])
     ap.add_argument("--skip_synth", action="store_true",
                     help="reuse audio already under --out")
     args = ap.parse_args()
@@ -114,6 +116,7 @@ def main():
         "pipeline", str(meta), str(out / "mined"),
         "--src_lang", "en", "--tgt_lang", "de",
         "--vad_model", "energy", "--fused",
+        "--embed_model_type", args.embed_model_type,
         "--pair_batch", str(args.pair_batch),
         # throughput rehearsal: random-weight encoders make absolute DP
         # costs meaningless, so keep the cost gate open — the point is
