@@ -103,6 +103,22 @@ def test_sonar_spans_fp32_bit_exact():
     np.testing.assert_array_equal(host, dev)
 
 
+def test_sonar_spans_keep_device_matches_encode():
+    from svecalign_tpu.utils import embed_cache
+
+    m = _sonar("fp32")
+    w = _wave()
+    old = embed_cache.enabled
+    embed_cache.enabled = True
+    try:
+        e1, dev1 = m.encode([w[s:e] for s, e in SPANS], keep_device=True)
+        e2, dev2 = m.encode_spans(w, SPANS, keep_device=True)
+    finally:
+        embed_cache.enabled = old
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(np.asarray(dev1), np.asarray(dev2))
+
+
 def test_sonar_spans_int16_close():
     m = _sonar("int16")
     w = _wave()
