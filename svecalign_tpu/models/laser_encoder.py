@@ -264,7 +264,12 @@ class SpeechLaserModel:
     # device time, same-window A/B via tools/profile_embed.py
     # --ab_buckets); the two extra compiles are lazy (only shapes actually
     # seen compile).
-    BUCKETS = (4 * 16000, 8 * 16000, 14 * 16000, 20 * 16000, 30 * 16000)
+    # 45/60 s exist for embed_align spans under non-default concat_aligns
+    # flags (no --apply_dur_cond_to_both_sides caps only the src side);
+    # buckets compile lazily, so unused sizes cost nothing. Inputs past
+    # the largest bucket are truncated — loudly (see encode/encode_spans).
+    BUCKETS = (4 * 16000, 8 * 16000, 14 * 16000, 20 * 16000, 30 * 16000,
+               45 * 16000, 60 * 16000)
 
     # whole-waveform upload buckets for encode_spans (seconds). Files
     # longer than the largest bucket fall back to host slicing.
@@ -436,12 +441,20 @@ class SpeechLaserModel:
                 )
 
         by_bucket: dict = {}
+        n_truncated = 0
         for i, (s, e) in enumerate(spans):
             # clamp to the waveform like host slicing (waveform[s:e] is
             # short when e overruns the file; the forward's frame mask must
             # see the same length)
             ln = max(min(e, len(waveform)) - s, 0)
+            n_truncated += ln > self.BUCKETS[-1]
             by_bucket.setdefault(self._bucket(ln), []).append((i, s, ln))
+        if n_truncated:
+            logger.warning(
+                f"{n_truncated}/{len(spans)} spans exceed the largest "
+                f"length bucket ({self.BUCKETS[-1] // 16000} s) and are "
+                "TRUNCATED to it — their embeddings cover only the prefix"
+            )
         chunks = []
         for bucket, items in sorted(by_bucket.items()):
             rows = self._rows_for_bucket(bucket)
@@ -528,11 +541,19 @@ class SpeechLaserModel:
                 )
 
         by_bucket: dict = {}
+        n_truncated = 0
         for i, w in enumerate(waveforms):
             w = np.asarray(w, dtype=np.float32)
             if w.ndim == 2:
                 w = w[:, 0]
+            n_truncated += len(w) > self.BUCKETS[-1]
             by_bucket.setdefault(self._bucket(len(w)), []).append((i, w))
+        if n_truncated:
+            logger.warning(
+                f"{n_truncated}/{len(waveforms)} inputs exceed the largest "
+                f"length bucket ({self.BUCKETS[-1] // 16000} s) and are "
+                "TRUNCATED to it — their embeddings cover only the prefix"
+            )
 
         chunks = []
         for bucket, items in sorted(by_bucket.items()):

@@ -168,7 +168,10 @@ class SonarSpeechModel:
     supports_spans = True
     WAVE_BUCKETS_S = None  # None = ops.assemble.WAVE_BUCKETS_S
 
-    BUCKET_FRAMES = (200, 500, 1000, 2000, 3000)  # 10 ms frames (pre-stack)
+    # 10 ms frames (pre-stack); 4500/6000 (45/60 s) exist for embed_align
+    # spans under non-default concat_aligns flags and compile lazily —
+    # unused sizes cost nothing. Longer inputs truncate, loudly.
+    BUCKET_FRAMES = (200, 500, 1000, 2000, 3000, 4500, 6000)
 
     def __init__(
         self,
@@ -311,12 +314,20 @@ class SonarSpeechModel:
                 )
 
         by_bucket: dict = {}
+        n_truncated = 0
         for i, (s, e) in enumerate(spans):
             # clamp to the waveform like host slicing (see laser encoder)
             ln = max(min(e, len(waveform)) - s, 0)
             n_frames = 0 if ln < 400 else 1 + (ln - 400) // 160
+            n_truncated += n_frames > self.BUCKET_FRAMES[-1]
             by_bucket.setdefault(self._bucket(n_frames), []).append(
                 (i, s, ln, n_frames)
+            )
+        if n_truncated:
+            logger.warning(
+                f"{n_truncated}/{len(spans)} spans exceed the largest "
+                f"frame bucket ({self.BUCKET_FRAMES[-1]} x 10 ms) and are "
+                "TRUNCATED to it — their embeddings cover only the prefix"
             )
         chunks = []
         for bucket, items in sorted(by_bucket.items()):
@@ -383,12 +394,20 @@ class SonarSpeechModel:
 
         # fixed (batch_size, samples(bucket)) shapes: one program per bucket
         by_bucket: dict = {}
+        n_truncated = 0
         for i, w in enumerate(waveforms):
             w = np.asarray(w, dtype=np.float32)
             if w.ndim == 2:
                 w = w[0]
             n_frames = 0 if len(w) < 400 else 1 + (len(w) - 400) // 160
+            n_truncated += n_frames > self.BUCKET_FRAMES[-1]
             by_bucket.setdefault(self._bucket(n_frames), []).append((i, w, n_frames))
+        if n_truncated:
+            logger.warning(
+                f"{n_truncated}/{len(waveforms)} inputs exceed the largest "
+                f"frame bucket ({self.BUCKET_FRAMES[-1]} x 10 ms) and are "
+                "TRUNCATED to it — their embeddings cover only the prefix"
+            )
 
         chunks = []
         for bucket, items in sorted(by_bucket.items()):
