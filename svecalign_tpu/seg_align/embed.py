@@ -13,6 +13,7 @@ CLI: ``python -m svecalign_tpu.seg_align.embed METADATA OUT_DIR
 """
 
 import argparse
+import time
 from pathlib import Path
 
 from svecalign_tpu.utils.embed_model_utils import (
@@ -73,6 +74,13 @@ def main():
     embed_fp32 = args.embed_fp32
     logger.info(f"Embed with {'fp32' if embed_fp32 else 'fp16'}")
 
+    # SVECALIGN_EMBED_PROFILE=1: per-file phase timers (stage-wait /
+    # dispatch / pull / bytes) at INFO — the first question when an embed
+    # run is slow is always "tunnel, host, or device?"
+    import os
+
+    profiling = os.environ.get("SVECALIGN_EMBED_PROFILE", "") not in ("", "0")
+
     for audio_file in my_tqdm(all_inputs):
         audio_stem = Path(audio_file).stem
         seg_file = concat_dir / f"{audio_stem}.txt"
@@ -93,6 +101,12 @@ def main():
         if embed_out_path.exists():
             continue  # skip processed inputs
 
+        prof = None
+        if profiling:
+            from svecalign_tpu.models import laser_encoder
+
+            prof = laser_encoder.start_encode_profile()
+            t_file = time.perf_counter()
         embed_segments_to_file(
             embed_model,
             args.embed_model_type,
@@ -105,6 +119,15 @@ def main():
             window_assembly=args.window_assembly,
         )
         tmp_out_path.replace(embed_out_path)
+        if profiling:
+            logger.info(
+                f"profile {audio_stem}: "
+                f"{time.perf_counter() - t_file:.2f}s total | "
+                + " ".join(
+                    f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in prof.items()
+                )
+            )
     logger.info("Finished!")
 
 
