@@ -20,7 +20,7 @@ through fairseq on GPU (svecalign/utils/embed_model_utils.py:137-175) and
 never pays a host->device tunnel.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,19 +28,13 @@ import numpy as np
 
 WAVE_BLOCK = 16000  # per-block quantization granularity (1 s @ 16 kHz)
 
-# powers-of-2 seconds: a handful of upload shapes covers minutes-to-hours
+# powers-of-2 seconds: a handful of upload shapes covers minutes-to-hours.
+# Models pick the bucket themselves (they support per-instance overrides);
+# waveforms past the largest bucket fall back to host-sliced encode().
 WAVE_BUCKETS_S = (30, 60, 120, 240, 480, 960, 1920, 3840, 7680)
 
 _assemblers = {}
 _dequants = {}
-
-
-def wave_bucket(n_samples: int, sr: int = 16000) -> Optional[int]:
-    """Bucketed upload length for an n_samples waveform (None = too long)."""
-    for b in WAVE_BUCKETS_S:
-        if n_samples <= b * sr:
-            return b * sr
-    return None
 
 
 def quantize_wave(
