@@ -1,0 +1,86 @@
+"""Isolate the multi-second host-CPU stalls that follow big encodes.
+
+Observed (tools/profile_embed.py): after an hour-file encode, the NEXT
+file's pure-numpy quantize runs 20-60x slow for 10-30 s — on this
+single-core host something (the axon client?) holds the CPU/GIL. The
+stall did NOT scale with chunk count (101 vs 427 chunks: ~16.6 vs
+~16.9 s) but both freed ~2 GB of device buffers, suggesting
+bytes-proportional client/server work.
+
+This tool generates device work with independently varied (a) allocated/
+freed bytes, (b) execution count, (c) pulled bytes, then times a fixed
+host numpy probe immediately after. Run from /root/repo on the chip:
+
+    python tools/ablate_stall.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from svecalign_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+import jax
+import jax.numpy as jnp
+
+
+def probe(label: str) -> float:
+    a = np.empty(8_000_000, np.float32)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(np.abs(a).max())
+    dt = time.perf_counter() - t0
+    print(f"  probe after {label}: {dt:.3f} s", flush=True)
+    return dt
+
+
+@jax.jit
+def _bump(x):
+    return x + 1
+
+
+def churn(n_execs: int, mb_per_exec: int, pull: bool):
+    """n_execs executions, each allocating/freeing mb_per_exec MB."""
+    n = mb_per_exec * 1024 * 1024 // 2  # int16 elements
+    base = jnp.zeros(max(n, 1), jnp.int16)
+    out = None
+    for _ in range(n_execs):
+        out = _bump(base)  # new buffer each call; prior one freed
+        if pull:
+            np.asarray(out[:1])
+    # sync everything, then drop refs
+    if out is not None:
+        out.block_until_ready()
+    del out, base
+
+
+def main():
+    # warm up the jit + device
+    churn(4, 1, False)
+    probe("warmup")
+
+    for label, execs, mb, pull in [
+        ("128 execs x 16 MB (2 GB churn, no pulls)", 128, 16, False),
+        ("128 execs x 1 MB (128 MB churn, no pulls)", 128, 1, False),
+        ("16 execs x 128 MB (2 GB churn, no pulls)", 16, 128, False),
+        ("128 execs x 16 MB + per-exec 4 B pulls", 128, 16, True),
+    ]:
+        t0 = time.perf_counter()
+        churn(execs, mb, pull)
+        print(f"{label}: churn wall {time.perf_counter() - t0:.2f} s",
+              flush=True)
+        probe(label)
+        time.sleep(1)
+        probe(label + " (+1 s later)")
+        time.sleep(5)
+        probe(label + " (+6 s later)")
+
+
+if __name__ == "__main__":
+    main()
