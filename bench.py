@@ -444,7 +444,7 @@ def run_embed_file(n_warm: int = 3):
     600 s). Wall-clock e2e per file — upload + assembly + forwards + pulls
     — NOT a scan slope: the tunnel is part of what this path optimizes
     (round-2 host staging uploaded ~31x the raw audio bytes and the embed
-    stage was 91%% of sustained e2e wall, BASELINE.md).
+    stage was 91 percent of sustained e2e wall, BASELINE.md).
 
     Returns (seconds per file best-of-N, audio-hours embedded per wall-hour
     at that rate)."""

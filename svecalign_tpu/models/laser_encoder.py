@@ -496,7 +496,10 @@ class SpeechLaserModel:
                 if dev is not None:
                     tgt = np.full((rows,), np.iinfo(np.int32).max, np.int32)
                     tgt[: len(chunk)] = [i for i, _, _ in chunk]
+                    t0 = t()
                     dev = _scatter_rows_fp16(dev, emb, jnp.asarray(tgt))
+                    if prof is not None:
+                        prof["scatter_dispatch_s"] += t() - t0
                 pending.append((chunk, emb))
 
         t0 = t()

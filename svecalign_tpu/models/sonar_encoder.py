@@ -24,6 +24,7 @@ XLA compiles one program per bucket.
 """
 
 import dataclasses
+import time
 from typing import Optional
 
 import flax.linen as nn
@@ -347,17 +348,29 @@ class SonarSpeechModel:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        from svecalign_tpu.models import laser_encoder
+
+        prof = laser_encoder.encode_profile  # shared phase timers (None = off)
+        t = time.perf_counter
         pending = []
         with ThreadPoolExecutor(1) as ex:
             fut = ex.submit(stage, chunks[0]) if chunks else None
             for ci, (bucket, chunk) in enumerate(chunks):
+                t0 = t()
                 idx_dev = fut.result()
+                if prof is not None:
+                    prof["stage_wait_s"] += t() - t0
+                    prof["upload_bytes"] += idx_dev.nbytes
+                    prof["chunks"] += 1
                 if ci + 1 < len(chunks):
                     fut = ex.submit(stage, chunks[ci + 1])
                 samples = 400 + (bucket - 1) * 160
+                t0 = t()
                 asm = assemble.get_assembler(wave_len + slack, samples, fp32)
                 rows_q, row_scales, lengths = asm(wave_dev, idx_dev)
                 emb = self._forward(self.params, rows_q, row_scales, lengths, bucket)
+                if prof is not None:
+                    prof["forward_dispatch_s"] += t() - t0
                 if dev is not None:
                     from svecalign_tpu.models.laser_encoder import _scatter_rows_fp16
 
@@ -365,13 +378,21 @@ class SonarSpeechModel:
                         (self.batch_size,), np.iinfo(np.int32).max, np.int32
                     )
                     tgt[: len(chunk)] = [i for i, *_ in chunk]
+                    t0 = t()
                     dev = _scatter_rows_fp16(dev, emb, jnp.asarray(tgt))
+                    if prof is not None:
+                        prof["scatter_dispatch_s"] += t() - t0
                 pending.append((chunk, emb))
 
+        t0 = t()
         for chunk, emb in pending:
             emb = np.asarray(emb, dtype=np.float32)
             for row, (i, *_) in enumerate(chunk):
                 out[i] = emb[row]
+        if prof is not None:
+            prof["pull_s"] += t() - t0
+            prof["rows"] += len(spans)
+            prof["upload_bytes"] += wave_host.nbytes + block_scales.nbytes
         return (out, dev) if keep_device else out
 
     def encode(self, waveforms, keep_device: bool = False):
@@ -398,7 +419,7 @@ class SonarSpeechModel:
         for i, w in enumerate(waveforms):
             w = np.asarray(w, dtype=np.float32)
             if w.ndim == 2:
-                w = w[0]
+                w = w[:, 0]  # channel 0, as slice_segments/encode_spans
             n_frames = 0 if len(w) < 400 else 1 + (len(w) - 400) // 160
             n_truncated += n_frames > self.BUCKET_FRAMES[-1]
             by_bucket.setdefault(self._bucket(n_frames), []).append((i, w, n_frames))

@@ -80,11 +80,15 @@ def test_laser_spans_keep_device_matches_encode():
 
 
 def test_laser_spans_long_wave_fallback(caplog):
+    import logging
+
     m = _laser("fp32")
     m.WAVE_BUCKETS_S = (1,)  # force every real file past the largest bucket
     w = _wave()
     host = m.encode([w[s:e] for s, e in SPANS])
-    dev = m.encode_spans(w, SPANS)
+    with caplog.at_level(logging.WARNING):
+        dev = m.encode_spans(w, SPANS)
+    assert any("falling back to host-sliced" in r.message for r in caplog.records)
     np.testing.assert_array_equal(host, dev)
 
 

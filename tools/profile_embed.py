@@ -65,6 +65,9 @@ def main():
           f"{sum(e - s for s, e in segments) / 16000:.0f} s "
           f"(assembly={args.assembly})", flush=True)
 
+    if sum(map(bool, (args.ab_buckets, args.ab_gc, args.ab_max_tokens))) > 1:
+        ap.error("--ab_buckets / --ab_gc / --ab_max_tokens are mutually "
+                 "exclusive (one A/B variable per run)")
     modes = {"host": ["host"], "device": ["device"],
              "ab": ["host", "device"]}[args.assembly]
     bucket_sets = None
