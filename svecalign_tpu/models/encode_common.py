@@ -1,0 +1,202 @@
+"""Shared device-side span-encode driver + encode() phase timers.
+
+Both speech encoders (LASER wav2vec2, SONAR w2v-BERT) embed overlap
+windows of one waveform. ``SpanEncoderMixin.encode_spans`` holds the whole
+device-assembly dataflow ONCE — wave bucketing + host-slicing fallback,
+per-block quantize, materialized dequant, window chunking, the staged
+index-upload thread, the fused-cache scatter, and the deferred pulls —
+while the models supply only their shape policy via four small hooks:
+
+    _span_plan(start, ln)     -> (bucket, (start, n_samples, out_len), truncated?)
+    _span_buckets()           -> the bucket list (model units)
+    _bucket_width(bucket)     -> window width in SAMPLES
+    _rows_per_chunk(bucket)   -> batch rows for that bucket
+    _span_forward(rows, scales, lengths, bucket) -> (rows, dim) embeddings
+
+plus the ``_embed_dim`` and ``_trunc_unit`` properties (output width and
+the truncation warning's bucket description).
+
+Measured rationale for the dataflow (tools/profile_embed.py,
+tools/ablate_assemble.py; 2026-08-17, v5e over the axon tunnel):
+- concat overlap windows cover each sample ~13x and bucket padding adds
+  ~2.4x, so host-side staging uploaded ~31x the raw audio bytes (243 MB
+  for a 240 s file, 1.9 GB for 30 min) over a ~45 MB/s tunnel;
+- the per-block dequant must be MATERIALIZED once per file
+  (ops/assemble.get_dequant) — fused into the window gather it cost
+  23.5 ms/chunk vs 0.8 ms split;
+- int16 mode re-quantizes each window per-row on device so batches feed
+  the SAME compiled forward programs as host staging (zero new encoder
+  compiles); fp32 upload mode is bit-exact with host slicing
+  (tests/test_encode_spans.py).
+"""
+
+import time
+from functools import partial as _partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svecalign_tpu.utils.log_utils import logging
+
+logger = logging.getLogger(__name__)
+
+# opt-in phase timers for encode()/encode_spans (tools/profile_embed.py,
+# SVECALIGN_EMBED_PROFILE): set via start_encode_profile() and the encode
+# loops accumulate per-phase wall time. None (default) = zero-overhead off.
+encode_profile = None
+
+
+def start_encode_profile() -> dict:
+    global encode_profile
+    encode_profile = {
+        "stage_wait_s": 0.0, "forward_dispatch_s": 0.0,
+        "scatter_dispatch_s": 0.0, "pull_s": 0.0,
+        "upload_bytes": 0, "chunks": 0, "rows": 0,
+    }
+    return encode_profile
+
+
+@_partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows_fp16(dev: jax.Array, emb: jax.Array, idx: jax.Array) -> jax.Array:
+    """Scatter a batch's embeddings into the fused-pipeline device buffer as
+    fp16 (the .embed file dtype, so the cached rows and the file agree
+    bit-for-bit). Out-of-range indices (batch padding) are dropped.
+
+    ``dev`` is DONATED: the update happens in place instead of allocating a
+    fresh (max_rows, dim) buffer per chunk — on the tunneled single-core
+    host, every freed device buffer is client RPC work, and an hour-scale
+    fused encode would otherwise churn hundreds of ~32 MB buffers."""
+    return dev.at[idx].set(emb.astype(jnp.float16), mode="drop")
+
+
+class SpanEncoderMixin:
+    """encode_spans() for models exposing the hook set described above."""
+
+    def encode_spans(self, waveform, spans, keep_device: bool = False):
+        """Encode (start, end) sample spans of ONE waveform -> (N, dim).
+
+        Equivalent to ``encode([waveform[s:e] for s, e in spans])`` with
+        the waveform crossing the tunnel once and the overlap windows
+        gathered into padded batches on device (module docstring has the
+        measured rationale). fp32 upload mode is bit-exact with host
+        slicing; int16 differs by ~one quantization step. Waveforms longer
+        than the largest wave bucket fall back to host-sliced encode().
+        """
+        from svecalign_tpu.ops import assemble
+
+        waveform = np.asarray(waveform, dtype=np.float32)
+        if waveform.ndim == 2:
+            waveform = waveform[:, 0]
+        buckets_s = self.WAVE_BUCKETS_S or assemble.WAVE_BUCKETS_S
+        wave_len = next(
+            (b * 16000 for b in buckets_s if len(waveform) <= b * 16000), None
+        )
+        if wave_len is None:
+            logger.warning(
+                f"encode_spans: waveform of {len(waveform) / 16000:.0f} s "
+                f"exceeds the largest wave bucket ({buckets_s[-1]} s); "
+                "falling back to host-sliced encode()"
+            )
+            return self.encode(
+                [waveform[s:e] for s, e in spans], keep_device=keep_device
+            )
+
+        fp32 = self.upload_dtype == "fp32"
+        t0q = time.perf_counter()
+        wave_host, block_scales = assemble.quantize_wave(waveform, wave_len, fp32)
+        t0p = time.perf_counter()
+        # materialized padded f32 dequant ONCE per file (assemble.get_dequant)
+        slack = max(self._bucket_width(b) for b in self._span_buckets())
+        wave_dev = assemble.get_dequant(wave_len, slack)(
+            jnp.asarray(wave_host), jnp.asarray(block_scales)
+        )
+        if encode_profile is not None:
+            encode_profile["wave_quant_s"] = t0p - t0q
+            encode_profile["wave_put_s"] = time.perf_counter() - t0p
+
+        out = np.zeros((len(spans), self._embed_dim), dtype=np.float32)
+        dev = None
+        if keep_device:
+            from svecalign_tpu.utils import embed_cache
+
+            if len(spans) <= embed_cache.max_rows:
+                dev = jnp.zeros(
+                    (embed_cache.max_rows, self._embed_dim), jnp.float16
+                )
+
+        by_bucket: dict = {}
+        n_truncated = 0
+        for i, (s, e) in enumerate(spans):
+            # clamp to the waveform like host slicing (waveform[s:e] is
+            # short when e overruns the file; the forward's frame mask
+            # must see the same length)
+            ln = max(min(e, len(waveform)) - s, 0)
+            bucket, idx_row, truncated = self._span_plan(s, ln)
+            n_truncated += truncated
+            by_bucket.setdefault(bucket, []).append((i, idx_row))
+        if n_truncated:
+            logger.warning(
+                f"{n_truncated}/{len(spans)} spans exceed the largest "
+                f"length bucket ({self._trunc_unit}) and are TRUNCATED "
+                "to it — their embeddings cover only the prefix"
+            )
+        chunks = []
+        for bucket, items in sorted(by_bucket.items()):
+            rows = self._rows_per_chunk(bucket)
+            for c0 in range(0, len(items), rows):
+                chunks.append((rows, bucket, items[c0 : c0 + rows]))
+
+        def stage(args):
+            """device_put one chunk's (rows, 3) [start, n_samples, out_len]
+            indices on a worker thread (puts block their caller in the
+            tunnel's post-D2H mode; tiny as they are, ~25 ms each adds up)."""
+            rows, bucket, chunk = args
+            idx = np.zeros((rows, 3), np.int32)
+            for row, (_, idx_row) in enumerate(chunk):
+                idx[row] = idx_row
+            return jnp.asarray(idx)
+
+        prof = encode_profile
+        t = time.perf_counter
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = []
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(stage, chunks[0]) if chunks else None
+            for ci, (rows, bucket, chunk) in enumerate(chunks):
+                t0 = t()
+                idx_dev = fut.result()
+                if prof is not None:
+                    prof["stage_wait_s"] += t() - t0
+                    prof["upload_bytes"] += idx_dev.nbytes
+                    prof["chunks"] += 1
+                if ci + 1 < len(chunks):
+                    fut = ex.submit(stage, chunks[ci + 1])
+                t0 = t()
+                asm = assemble.get_assembler(
+                    wave_len + slack, self._bucket_width(bucket), fp32
+                )
+                rows_q, row_scales, lengths = asm(wave_dev, idx_dev)
+                emb = self._span_forward(rows_q, row_scales, lengths, bucket)
+                if prof is not None:
+                    prof["forward_dispatch_s"] += t() - t0
+                if dev is not None:
+                    tgt = np.full((rows,), np.iinfo(np.int32).max, np.int32)
+                    tgt[: len(chunk)] = [i for i, _ in chunk]
+                    t0 = t()
+                    dev = _scatter_rows_fp16(dev, emb, jnp.asarray(tgt))
+                    if prof is not None:
+                        prof["scatter_dispatch_s"] += t() - t0
+                pending.append((chunk, emb))
+
+        t0 = t()
+        for chunk, emb in pending:
+            emb = np.asarray(emb, dtype=np.float32)
+            for row, (i, _) in enumerate(chunk):
+                out[i] = emb[row]
+        if prof is not None:
+            prof["pull_s"] += t() - t0
+            prof["rows"] += len(spans)
+            prof["upload_bytes"] += wave_host.nbytes + block_scales.nbytes
+        return (out, dev) if keep_device else out

@@ -206,39 +206,18 @@ class LaserSpeechEncoder(nn.Module):
         return jnp.max(x, axis=1)
 
 
-# opt-in phase timers for encode() (tools/profile_embed.py): set to a dict
-# via start_encode_profile() and encode() accumulates per-phase wall time
-# into it. None (default) = zero-overhead off path.
-encode_profile = None
+# phase timers + fused scatter + the shared encode_spans driver live in
+# encode_common; start_encode_profile/_scatter_rows_fp16 re-exported here
+# for existing callers (tools/profile_embed.py, seg_align/embed.py)
+from svecalign_tpu.models import encode_common
+from svecalign_tpu.models.encode_common import (  # noqa: F401
+    SpanEncoderMixin,
+    _scatter_rows_fp16,
+    start_encode_profile,
+)
 
 
-def start_encode_profile() -> dict:
-    global encode_profile
-    encode_profile = {
-        "stage_wait_s": 0.0, "forward_dispatch_s": 0.0,
-        "scatter_dispatch_s": 0.0, "pull_s": 0.0,
-        "upload_bytes": 0, "chunks": 0, "rows": 0,
-    }
-    return encode_profile
-
-
-from functools import partial as _partial
-
-
-@_partial(jax.jit, donate_argnums=(0,))
-def _scatter_rows_fp16(dev: jax.Array, emb: jax.Array, idx: jax.Array) -> jax.Array:
-    """Scatter a batch's embeddings into the fused-pipeline device buffer as
-    fp16 (the .embed file dtype, so the cached rows and the file agree
-    bit-for-bit). Out-of-range indices (batch padding) are dropped.
-
-    ``dev`` is DONATED: the update happens in place instead of allocating a
-    fresh (max_rows, dim) buffer per chunk — on the tunneled single-core
-    host, every freed device buffer is client RPC work, and an hour-scale
-    fused encode would otherwise churn hundreds of ~32 MB buffers."""
-    return dev.at[idx].set(emb.astype(jnp.float16), mode="drop")
-
-
-class SpeechLaserModel:
+class SpeechLaserModel(SpanEncoderMixin):
     """Host-side wrapper: init/load params, bucket batches, run jit forward.
 
     Mirrors the role of stopes LaserFileAudioEncoder but slices segments in
@@ -378,140 +357,31 @@ class SpeechLaserModel:
                 return b
         return self.BUCKETS[-1]
 
-    def encode_spans(self, waveform, spans, keep_device: bool = False):
-        """Encode (start, end) sample spans of ONE waveform -> (N, dim).
+    # --- SpanEncoderMixin hooks (units: samples @ 16 kHz) ---
 
-        Equivalent to ``encode([waveform[s:e] for s, e in spans])`` but the
-        waveform crosses the tunnel ONCE (per-block int16 + scales) and the
-        overlap windows are gathered into padded batches on device.
-        Measured rationale (tools/profile_embed.py): concat overlap windows
-        cover each sample ~13x and pad ~2.4x on top, so host staging
-        uploads ~31x the raw audio bytes (243 MB for a 240 s file; 1.9 GB
-        for a 30 min file) and the warm encode is tunnel-bound. Here the
-        upload is the raw audio plus (rows, 3) window indices.
+    def _span_buckets(self):
+        return self.BUCKETS
 
-        int16 mode quantizes per 1 s block on upload and requantizes each
-        window per-row on device (~2x one int16 rounding, vs per-window
-        rounding host-side — noise well under encoder tolerance); fp32 mode
-        (--upload_precision fp32) is bit-exact with the host-sliced path.
-        Waveforms longer than WAVE_BUCKETS_S[-1] fall back to host slicing.
-        """
-        from svecalign_tpu.ops import assemble
+    def _bucket_width(self, bucket: int) -> int:
+        return bucket
 
-        waveform = np.asarray(waveform, dtype=np.float32)
-        if waveform.ndim == 2:
-            waveform = waveform[:, 0]
-        buckets_s = self.WAVE_BUCKETS_S or assemble.WAVE_BUCKETS_S
-        wave_len = next(
-            (b * 16000 for b in buckets_s if len(waveform) <= b * 16000), None
-        )
-        if wave_len is None:
-            logger.warning(
-                f"encode_spans: waveform of {len(waveform) / 16000:.0f} s exceeds "
-                f"the largest wave bucket ({buckets_s[-1]} s); "
-                "falling back to host-sliced encode()"
-            )
-            return self.encode(
-                [waveform[s:e] for s, e in spans], keep_device=keep_device
-            )
+    def _rows_per_chunk(self, bucket: int) -> int:
+        return self._rows_for_bucket(bucket)
 
-        fp32 = self.upload_dtype == "fp32"
-        t0q = time.perf_counter()
-        wave_host, block_scales = assemble.quantize_wave(waveform, wave_len, fp32)
-        t0p = time.perf_counter()
-        # dequantize to a materialized padded f32 buffer ONCE per file —
-        # fused into the assembler this cost ~28 ms per chunk (see
-        # ops/assemble.py get_dequant)
-        slack = max(self.BUCKETS)
-        wave_dev = assemble.get_dequant(wave_len, slack)(
-            jnp.asarray(wave_host), jnp.asarray(block_scales)
-        )
-        if encode_profile is not None:
-            encode_profile["wave_quant_s"] = t0p - t0q
-            encode_profile["wave_put_s"] = time.perf_counter() - t0p
+    def _span_plan(self, start: int, ln: int):
+        bucket = self._bucket(ln)
+        return bucket, (start, ln, min(ln, bucket)), ln > self.BUCKETS[-1]
 
-        out = np.zeros((len(spans), self.config.encoder_dim), dtype=np.float32)
-        dev = None
-        if keep_device:
-            from svecalign_tpu.utils import embed_cache
+    def _span_forward(self, rows_q, row_scales, lengths, bucket):
+        return self._forward(self.params, rows_q, row_scales, lengths)
 
-            if len(spans) <= embed_cache.max_rows:
-                dev = jnp.zeros(
-                    (embed_cache.max_rows, self.config.encoder_dim), jnp.float16
-                )
+    @property
+    def _embed_dim(self) -> int:
+        return self.config.encoder_dim
 
-        by_bucket: dict = {}
-        n_truncated = 0
-        for i, (s, e) in enumerate(spans):
-            # clamp to the waveform like host slicing (waveform[s:e] is
-            # short when e overruns the file; the forward's frame mask must
-            # see the same length)
-            ln = max(min(e, len(waveform)) - s, 0)
-            n_truncated += ln > self.BUCKETS[-1]
-            by_bucket.setdefault(self._bucket(ln), []).append((i, s, ln))
-        if n_truncated:
-            logger.warning(
-                f"{n_truncated}/{len(spans)} spans exceed the largest "
-                f"length bucket ({self.BUCKETS[-1] // 16000} s) and are "
-                "TRUNCATED to it — their embeddings cover only the prefix"
-            )
-        chunks = []
-        for bucket, items in sorted(by_bucket.items()):
-            rows = self._rows_for_bucket(bucket)
-            for c0 in range(0, len(items), rows):
-                chunks.append((rows, bucket, items[c0 : c0 + rows]))
-
-        def stage(args):
-            """device_put one chunk's (rows, 3) [start, n_samples, out_len]
-            indices on a worker thread (puts block their caller in the
-            tunnel's post-D2H mode; tiny as they are, ~25 ms each adds up)."""
-            rows, bucket, chunk = args
-            idx = np.zeros((rows, 3), np.int32)
-            for row, (_, s, ln) in enumerate(chunk):
-                idx[row] = (s, ln, min(ln, bucket))
-            return jnp.asarray(idx)
-
-        prof = encode_profile
-        t = time.perf_counter
-        from concurrent.futures import ThreadPoolExecutor
-
-        pending = []
-        with ThreadPoolExecutor(1) as ex:
-            fut = ex.submit(stage, chunks[0]) if chunks else None
-            for ci, (rows, bucket, chunk) in enumerate(chunks):
-                t0 = t()
-                idx_dev = fut.result()
-                if prof is not None:
-                    prof["stage_wait_s"] += t() - t0
-                    prof["upload_bytes"] += idx_dev.nbytes
-                    prof["chunks"] += 1
-                if ci + 1 < len(chunks):
-                    fut = ex.submit(stage, chunks[ci + 1])
-                t0 = t()
-                asm = assemble.get_assembler(wave_len + slack, bucket, fp32)
-                rows_q, row_scales, lengths = asm(wave_dev, idx_dev)
-                emb = self._forward(self.params, rows_q, row_scales, lengths)
-                if prof is not None:
-                    prof["forward_dispatch_s"] += t() - t0
-                if dev is not None:
-                    tgt = np.full((rows,), np.iinfo(np.int32).max, np.int32)
-                    tgt[: len(chunk)] = [i for i, _, _ in chunk]
-                    t0 = t()
-                    dev = _scatter_rows_fp16(dev, emb, jnp.asarray(tgt))
-                    if prof is not None:
-                        prof["scatter_dispatch_s"] += t() - t0
-                pending.append((chunk, emb))
-
-        t0 = t()
-        for chunk, emb in pending:
-            emb = np.asarray(emb, dtype=np.float32)
-            for row, (i, _, _) in enumerate(chunk):
-                out[i] = emb[row]
-        if prof is not None:
-            prof["pull_s"] += t() - t0
-            prof["rows"] += len(spans)
-            prof["upload_bytes"] += wave_host.nbytes + block_scales.nbytes
-        return (out, dev) if keep_device else out
+    @property
+    def _trunc_unit(self) -> str:
+        return f"{self.BUCKETS[-1] // 16000} s"
 
     def _rows_for_bucket(self, bucket: int) -> int:
         rows = max(1, self.max_tokens // bucket)
@@ -592,7 +462,7 @@ class SpeechLaserModel:
         # pull synced its chunk's forward, serializing the device).
         from concurrent.futures import ThreadPoolExecutor
 
-        prof = encode_profile  # module-level phase timers (None = off)
+        prof = encode_common.encode_profile  # phase timers (None = off)
         t = time.perf_counter
         pending = []  # (chunk, emb device handle)
         with ThreadPoolExecutor(1) as ex:

@@ -24,7 +24,6 @@ XLA compiles one program per bucket.
 """
 
 import dataclasses
-import time
 from typing import Optional
 
 import flax.linen as nn
@@ -35,6 +34,7 @@ import numpy as np
 from svecalign_tpu.utils.jax_setup import setup_jax
 
 setup_jax()
+from svecalign_tpu.models.encode_common import SpanEncoderMixin, _scatter_rows_fp16
 from svecalign_tpu.models.w2v_bert import W2vBertConfig, W2vBertModel
 from svecalign_tpu.utils.log_utils import logging
 
@@ -156,7 +156,7 @@ def sonar_frontend(wav: jax.Array, lengths: jax.Array, n_frames: int, n_mels: in
     return feats, mask2
 
 
-class SonarSpeechModel:
+class SonarSpeechModel(SpanEncoderMixin):
     """Host wrapper: fused fbank frontend + bucketed batched forward."""
 
     # encode(..., keep_device=True) returns (out, device fp16 rows):
@@ -266,134 +266,34 @@ class SonarSpeechModel:
                 return b
         return self.BUCKET_FRAMES[-1]
 
-    def encode_spans(self, waveform, spans, keep_device: bool = False):
-        """Encode (start, end) sample spans of ONE waveform -> (N, dim).
+    # --- SpanEncoderMixin hooks (buckets in 10 ms frames) ---
 
-        Equivalent to ``encode([waveform[s:e] for s, e in spans])`` with the
-        waveform crossing the tunnel once and the overlap windows gathered
-        into padded batches on device (ops/assemble.py; see
-        SpeechLaserModel.encode_spans for the measured rationale). fp32
-        upload mode is bit-exact with the host-sliced path; int16 differs
-        by ~one quantization step. Falls back to host slicing for
-        waveforms longer than the largest wave bucket.
-        """
-        from svecalign_tpu.ops import assemble
+    def _span_buckets(self):
+        return self.BUCKET_FRAMES
 
-        waveform = np.asarray(waveform, dtype=np.float32)
-        if waveform.ndim == 2:
-            waveform = waveform[:, 0]
-        buckets_s = self.WAVE_BUCKETS_S or assemble.WAVE_BUCKETS_S
-        wave_len = next(
-            (b * 16000 for b in buckets_s if len(waveform) <= b * 16000), None
-        )
-        if wave_len is None:
-            logger.warning(
-                f"encode_spans: waveform of {len(waveform) / 16000:.0f} s "
-                f"exceeds the largest wave bucket ({buckets_s[-1]} s); "
-                "falling back to host-sliced encode()"
-            )
-            return self.encode(
-                [waveform[s:e] for s, e in spans], keep_device=keep_device
-            )
+    def _bucket_width(self, bucket: int) -> int:
+        return 400 + (bucket - 1) * 160  # frames -> samples
 
-        fp32 = self.upload_dtype == "fp32"
-        wave_host, block_scales = assemble.quantize_wave(waveform, wave_len, fp32)
-        # materialized f32 dequant ONCE per file (ops/assemble.get_dequant)
-        slack = 400 + (self.BUCKET_FRAMES[-1] - 1) * 160
-        wave_dev = assemble.get_dequant(wave_len, slack)(
-            jnp.asarray(wave_host), jnp.asarray(block_scales)
-        )
+    def _rows_per_chunk(self, bucket: int) -> int:
+        return self.batch_size
 
-        out = np.zeros((len(spans), self.config.pool_dim), dtype=np.float32)
-        dev = None
-        if keep_device:
-            from svecalign_tpu.utils import embed_cache
+    def _span_plan(self, start: int, ln: int):
+        n_frames = 0 if ln < 400 else 1 + (ln - 400) // 160
+        bucket = self._bucket(n_frames)
+        width = self._bucket_width(bucket)
+        return (bucket, (start, min(ln, width), min(n_frames, bucket)),
+                n_frames > self.BUCKET_FRAMES[-1])
 
-            if len(spans) <= embed_cache.max_rows:
-                dev = jnp.zeros(
-                    (embed_cache.max_rows, self.config.pool_dim), jnp.float16
-                )
+    def _span_forward(self, rows_q, row_scales, lengths, bucket):
+        return self._forward(self.params, rows_q, row_scales, lengths, bucket)
 
-        by_bucket: dict = {}
-        n_truncated = 0
-        for i, (s, e) in enumerate(spans):
-            # clamp to the waveform like host slicing (see laser encoder)
-            ln = max(min(e, len(waveform)) - s, 0)
-            n_frames = 0 if ln < 400 else 1 + (ln - 400) // 160
-            n_truncated += n_frames > self.BUCKET_FRAMES[-1]
-            by_bucket.setdefault(self._bucket(n_frames), []).append(
-                (i, s, ln, n_frames)
-            )
-        if n_truncated:
-            logger.warning(
-                f"{n_truncated}/{len(spans)} spans exceed the largest "
-                f"frame bucket ({self.BUCKET_FRAMES[-1]} x 10 ms) and are "
-                "TRUNCATED to it — their embeddings cover only the prefix"
-            )
-        chunks = []
-        for bucket, items in sorted(by_bucket.items()):
-            for c0 in range(0, len(items), self.batch_size):
-                chunks.append((bucket, items[c0 : c0 + self.batch_size]))
+    @property
+    def _embed_dim(self) -> int:
+        return self.config.pool_dim
 
-        def stage(args):
-            """device_put one chunk's (rows, 3) [start, n_samples,
-            n_frames] indices on a worker thread (puts block their caller
-            in the tunnel's post-D2H mode)."""
-            bucket, chunk = args
-            samples = 400 + (bucket - 1) * 160
-            idx = np.zeros((self.batch_size, 3), np.int32)
-            for row, (_, s, ln, nf) in enumerate(chunk):
-                idx[row] = (s, min(ln, samples), min(nf, bucket))
-            return jnp.asarray(idx)
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        from svecalign_tpu.models import laser_encoder
-
-        prof = laser_encoder.encode_profile  # shared phase timers (None = off)
-        t = time.perf_counter
-        pending = []
-        with ThreadPoolExecutor(1) as ex:
-            fut = ex.submit(stage, chunks[0]) if chunks else None
-            for ci, (bucket, chunk) in enumerate(chunks):
-                t0 = t()
-                idx_dev = fut.result()
-                if prof is not None:
-                    prof["stage_wait_s"] += t() - t0
-                    prof["upload_bytes"] += idx_dev.nbytes
-                    prof["chunks"] += 1
-                if ci + 1 < len(chunks):
-                    fut = ex.submit(stage, chunks[ci + 1])
-                samples = 400 + (bucket - 1) * 160
-                t0 = t()
-                asm = assemble.get_assembler(wave_len + slack, samples, fp32)
-                rows_q, row_scales, lengths = asm(wave_dev, idx_dev)
-                emb = self._forward(self.params, rows_q, row_scales, lengths, bucket)
-                if prof is not None:
-                    prof["forward_dispatch_s"] += t() - t0
-                if dev is not None:
-                    from svecalign_tpu.models.laser_encoder import _scatter_rows_fp16
-
-                    tgt = np.full(
-                        (self.batch_size,), np.iinfo(np.int32).max, np.int32
-                    )
-                    tgt[: len(chunk)] = [i for i, *_ in chunk]
-                    t0 = t()
-                    dev = _scatter_rows_fp16(dev, emb, jnp.asarray(tgt))
-                    if prof is not None:
-                        prof["scatter_dispatch_s"] += t() - t0
-                pending.append((chunk, emb))
-
-        t0 = t()
-        for chunk, emb in pending:
-            emb = np.asarray(emb, dtype=np.float32)
-            for row, (i, *_) in enumerate(chunk):
-                out[i] = emb[row]
-        if prof is not None:
-            prof["pull_s"] += t() - t0
-            prof["rows"] += len(spans)
-            prof["upload_bytes"] += wave_host.nbytes + block_scales.nbytes
-        return (out, dev) if keep_device else out
+    @property
+    def _trunc_unit(self) -> str:
+        return f"{self.BUCKET_FRAMES[-1]} x 10 ms"
 
     def encode(self, waveforms, keep_device: bool = False):
         """Encode waveforms -> (N, pool_dim) float32.
@@ -472,8 +372,6 @@ class SonarSpeechModel:
                     fut = ex.submit(stage, chunks[ci + 1])
                 emb = self._forward(self.params, padded, scales, lengths, bucket)
                 if dev is not None:
-                    from svecalign_tpu.models.laser_encoder import _scatter_rows_fp16
-
                     # out-of-range target rows (padding) drop on device
                     idx = np.full((self.batch_size,), np.iinfo(np.int32).max, np.int32)
                     idx[: len(chunk)] = [i for i, *_ in chunk]
