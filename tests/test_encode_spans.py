@@ -158,3 +158,30 @@ def test_embed_segments_to_file_device_vs_host(tmp_path):
     a = np.load(out_host)  # stopes-format fp16 .npy
     b = np.load(out_dev)
     np.testing.assert_array_equal(a, b)
+
+
+def test_embed_segments_to_file_device_vs_host_sonar(tmp_path):
+    """Same stage-level check for the SONAR flavor (headerless raw fp16)."""
+    from svecalign_tpu.utils import audio_io
+    from svecalign_tpu.utils import embed_model_utils as emu
+
+    w = _wave(seconds=8)
+    wav_path = tmp_path / "a.wav"
+    audio_io.write(str(wav_path), w, 16000)
+    segments = [(0, 16000), (8000, 30000), (16000, 32000), (100000, 127000)]
+
+    m = _sonar("fp32")
+    out_host = tmp_path / "host.embed"
+    out_dev = tmp_path / "dev.embed"
+    emu.embed_segments_to_file(
+        m, "sonar", str(wav_path), segments, str(out_host),
+        window_assembly="host",
+    )
+    emu.embed_segments_to_file(
+        m, "sonar", str(wav_path), segments, str(out_dev),
+        window_assembly="device",
+    )
+    a = np.fromfile(out_host, dtype=np.float16)
+    b = np.fromfile(out_dev, dtype=np.float16)
+    assert a.size == len(segments) * m.config.pool_dim
+    np.testing.assert_array_equal(a, b)
