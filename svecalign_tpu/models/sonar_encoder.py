@@ -169,10 +169,14 @@ class SonarSpeechModel(SpanEncoderMixin):
     supports_spans = True
     WAVE_BUCKETS_S = None  # None = ops.assemble.WAVE_BUCKETS_S
 
-    # 10 ms frames (pre-stack); 4500/6000 (45/60 s) exist for embed_align
-    # spans under non-default concat_aligns flags and compile lazily —
-    # unused sizes cost nothing. Longer inputs truncate, loudly.
-    BUCKET_FRAMES = (200, 500, 1000, 2000, 3000, 4500, 6000)
+    # 10 ms frames (pre-stack). 700/1400 fill the 500->1000->2000 gaps:
+    # overlap windows average 600-800 frames, and on the LASER encoder the
+    # same padding cut measured 2x device time (tools/profile_embed.py
+    # --ab_buckets — unmeasured on sonar, same mechanism). 4500/6000
+    # (45/60 s) exist for embed_align spans under non-default
+    # concat_aligns flags. All buckets compile lazily — unused sizes cost
+    # nothing. Longer inputs truncate, loudly.
+    BUCKET_FRAMES = (200, 500, 700, 1000, 1400, 2000, 3000, 4500, 6000)
 
     def __init__(
         self,
