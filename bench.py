@@ -544,7 +544,86 @@ def _phase(name: str) -> None:
           file=sys.stderr, flush=True)
 
 
+def _init_devices_with_retry():
+    """Initialize the JAX backend, retrying through transient tunnel outages.
+
+    Two failure modes were observed on axon: a raised ``Unable to initialize
+    backend`` (retryable in-process — jax leaves ``_backends`` empty on a
+    raised init, so discovery re-runs) and a HANG inside the plugin's init
+    (not interruptible in-process). Each attempt therefore first probes
+    ``jax.devices()`` in a subprocess with a hard timeout, and only
+    initializes in-process once the probe succeeds.
+
+    Tunables (env, mainly for tests): ``SVECALIGN_BENCH_INIT_ATTEMPTS``
+    (default 3), ``SVECALIGN_BENCH_PROBE_TIMEOUT`` seconds (default 300).
+    """
+    import os
+    import subprocess
+
+    attempts = int(os.environ.get("SVECALIGN_BENCH_INIT_ATTEMPTS", "3"))
+    probe_timeout = float(os.environ.get("SVECALIGN_BENCH_PROBE_TIMEOUT", "300"))
+    waits = (60.0, 180.0)
+    # mirror utils.jax_setup: the axon plugin overrides the JAX_PLATFORMS env
+    # var, so the probe re-honors an explicit non-axon choice via config
+    probe_code = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS', '')\n"
+        "if p and 'axon' not in p:\n"
+        "    jax.config.update('jax_platforms', p)\n"
+        "jax.devices()\n"
+    )
+    last_err = "unknown"
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe_code],
+                cwd=str(REPO), check=True, timeout=probe_timeout,
+                capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"backend init probe hung > {probe_timeout:.0f}s"
+        except subprocess.CalledProcessError as e:
+            tail = (e.stderr or "").strip().splitlines()
+            last_err = tail[-1] if tail else f"probe rc={e.returncode}"
+        else:
+            from svecalign_tpu.utils.jax_setup import setup_jax
+
+            setup_jax()
+            import jax
+
+            try:
+                return jax.devices()
+            except Exception as e:
+                last_err = f"{type(e).__name__}: {e}"
+        if i + 1 < attempts:
+            wait = waits[min(i, len(waits) - 1)]
+            _phase(f"backend init failed ({last_err}); retry in {wait:.0f}s")
+            time.sleep(wait)
+    raise RuntimeError(f"backend unavailable after {attempts} attempts: {last_err}")
+
+
 def main():
+    # the one-JSON-line contract holds even on failure: the driver records
+    # stdout verbatim, and a raw traceback there is machine-unreadable
+    # (BENCH_r03 was lost to exactly that during a tunnel outage)
+    try:
+        _init_devices_with_retry()
+        _run_bench()
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "doc_pairs_aligned_per_hour_per_chip",
+            "value": None,
+            "unit": "doc-pairs/hour/chip",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)
+
+
+def _run_bench():
     _phase("run_align")
     stack, ours, (v0, v1) = run_align()
     from svecalign_tpu.vecalign import batch as batch_mod

@@ -1,10 +1,14 @@
-"""Stage 6.3 — concatenate consecutive alignments into longer clips.
+"""Stage 6.3 — grow training clips by chaining adjacent alignments.
 
-Builds training clips of up to ``--max_num_align`` consecutive alignments,
-requiring contiguity on both sides, inter-segment silence under
-``--max_sil`` and total duration under ``--max_dur`` (optionally on both
-sides). Originals are always kept; output carries no scores. (Reference
-svecalign/postprocess/concat_aligns.py:56-167.)
+Mined alignments are short; training wants clips up to ~20 s. This stage
+emits, per anchor alignment, the anchor itself plus every prefix-chain of
+up to ``--max_num_align`` following alignments that stays admissible:
+both sides contiguous in segment-id space, inter-clip silence at most
+``--max_sil`` seconds on both sides, and the source-side extent at most
+``--max_dur`` seconds (the target side too with
+``--apply_dur_cond_to_both_sides``). Chains grow strictly stepwise — the
+first inadmissible extension ends the anchor's chain. Scores do not
+survive this stage (reference: svecalign/postprocess/concat_aligns.py).
 
 CLI: ``python -m svecalign_tpu.postprocess.concat_aligns METADATA OUT_DIR
 --max_num_align 3 --align_dir A --seg_dir D --src_lang S --tgt_lang T
@@ -26,136 +30,139 @@ from svecalign_tpu.utils.log_utils import logging, my_tqdm
 
 logger = logging.getLogger(__name__)
 
+SegTable = List[Tuple[int, int]]
+Alignment = Tuple[List[int], List[int]]
+
 
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
-                        help="the meta file that each line contains paired audio paths")
+                        help="tsv of paired src/tgt audio paths")
     parser.add_argument("out_dir", type=str,
-                        help="where to save the concatenated alignments.")
+                        help="destination root for the chained alignment files")
     parser.add_argument("--max_num_align", type=int,
-                        help="max num of consecutive alignments to be concatenated.")
+                        help="chain length cap, in alignments")
     parser.add_argument("--align_dir", type=str, required=True,
-                        help="where the alignments are saved.")
+                        help="root of the cost-filtered alignment files")
     parser.add_argument("--seg_dir", type=str, required=True,
-                        help="the dir for all segments.")
+                        help="root of the per-document VAD segment files")
     parser.add_argument("--src_lang", type=str, required=True)
     parser.add_argument("--tgt_lang", type=str, required=True)
     parser.add_argument("--max_sil", type=float, default=1.0,
-                        help="if silence in between is longer than this, DO NOT concatenate.")
+                        help="longest admissible silence between chained clips, seconds")
     parser.add_argument("--max_dur", type=float, default=20.0,
-                        help="if the concatenated duration is larger than this, then no grouping.")
+                        help="longest admissible chained extent, seconds")
     parser.add_argument("--apply_dur_cond_to_both_sides", action="store_true",
                         default=False,
-                        help="Whether to apply `max_dur` to both sides. By default "
-                             "(False), only applied to the source side.")
+                        help="enforce --max_dur on the target side too "
+                             "(default: source side only)")
     return parser.parse_args()
 
 
-def group_aligns_by_num(
-    alignments: List[Tuple[List[int], List[int]]],
-    src_seg_to_frames: List[Tuple[int, int]],
-    tgt_seg_to_frames: List[Tuple[int, int]],
+class _Side:
+    """One language side of a growing chain, with its frame bookkeeping."""
+
+    def __init__(self, seg_table: SegTable, sample_rate: int):
+        self.table = seg_table
+        self.sr = sample_rate
+
+    def extent_s(self, ids: List[int], nxt: List[int]) -> float:
+        """Seconds from the chain's first segment to the candidate's last."""
+        return (self.table[nxt[-1]][1] - self.table[ids[0]][0]) / self.sr
+
+    def gap_s(self, ids: List[int], nxt: List[int]) -> float:
+        """Seconds of silence between the chain's end and the candidate."""
+        return (self.table[nxt[0]][0] - self.table[ids[-1]][1]) / self.sr
+
+    @staticmethod
+    def contiguous(ids: List[int], nxt: List[int]) -> bool:
+        return nxt[0] == ids[-1] + 1
+
+
+def chain_alignments(
+    alignments: List[Alignment],
+    src_seg_to_frames: SegTable,
+    tgt_seg_to_frames: SegTable,
     max_num_align: int,
     max_sil: float,
     max_dur: float,
     sample_rate: int,
     apply_dur_cond_to_both_sides: bool = False,
-) -> List[Tuple[List[int], List[int]]]:
+) -> List[Alignment]:
+    """Emit each anchor plus all its admissible prefix-chains, in order.
+
+    Output ordering is part of the file contract: anchor 0's chains
+    (shortest first), then anchor 1's, and so on.
+    """
     assert max_num_align >= 1, max_num_align
+    src_side = _Side(src_seg_to_frames, sample_rate)
+    tgt_side = _Side(tgt_seg_to_frames, sample_rate)
 
-    res: List[Tuple[List[int], List[int]]] = []
-    for start_i in range(len(alignments)):
-        _src, _tgt = alignments[start_i]
-        this_src = list(_src)
-        this_tgt = list(_tgt)
-        res.append((this_src, this_tgt))  # originals always kept
+    out: List[Alignment] = []
+    for base in range(len(alignments)):
+        chain_src = list(alignments[base][0])
+        chain_tgt = list(alignments[base][1])
+        out.append((chain_src, chain_tgt))  # the unchained anchor always ships
 
-        for step in range(1, max_num_align):
-            end_i = start_i + step
-            if end_i > len(alignments) - 1:
+        stop = min(base + max_num_align, len(alignments))
+        for cand in range(base + 1, stop):
+            nxt_src, nxt_tgt = alignments[cand]
+            admissible = (
+                src_side.extent_s(chain_src, nxt_src) <= max_dur
+                and (not apply_dur_cond_to_both_sides
+                     or tgt_side.extent_s(chain_tgt, nxt_tgt) <= max_dur)
+                and _Side.contiguous(chain_src, nxt_src)
+                and _Side.contiguous(chain_tgt, nxt_tgt)
+                and src_side.gap_s(chain_src, nxt_src) <= max_sil
+                and tgt_side.gap_s(chain_tgt, nxt_tgt) <= max_sil
+            )
+            if not admissible:
                 break
-
-            next_src, next_tgt = alignments[end_i]
-
-            # duration caps
-            src_dur = (
-                src_seg_to_frames[next_src[-1]][1] - src_seg_to_frames[this_src[0]][0]
-            ) / sample_rate
-            if src_dur > max_dur:
-                break
-            tgt_dur = (
-                tgt_seg_to_frames[next_tgt[-1]][1] - tgt_seg_to_frames[this_tgt[0]][0]
-            ) / sample_rate
-            if apply_dur_cond_to_both_sides and tgt_dur > max_dur:
-                break
-
-            # contiguity on both sides
-            if not (next_src[0] == this_src[-1] + 1 and next_tgt[0] == this_tgt[-1] + 1):
-                break
-
-            # silence between clips
-            src_sil = (
-                src_seg_to_frames[next_src[0]][0] - src_seg_to_frames[this_src[-1]][1]
-            ) / sample_rate
-            tgt_sil = (
-                tgt_seg_to_frames[next_tgt[0]][0] - tgt_seg_to_frames[this_tgt[-1]][1]
-            ) / sample_rate
-            if src_sil > max_sil or tgt_sil > max_sil:
-                break
-
-            next_src = this_src + next_src
-            next_tgt = this_tgt + next_tgt
-            res.append((next_src, next_tgt))
-            this_src = next_src
-            this_tgt = next_tgt
-    return res
+            chain_src = chain_src + nxt_src
+            chain_tgt = chain_tgt + nxt_tgt
+            out.append((chain_src, chain_tgt))
+    return out
 
 
 def main():
     args = parse_args()
     logger.info(args)
-
-    all_pairs = read_metadata(args.metadata)
-
     logger.info(
         f"max_num_align: {args.max_num_align} | max_sil: {args.max_sil} | "
         f"max_dur: {args.max_dur} (to both sides? {args.apply_dur_cond_to_both_sides})"
     )
 
-    src_lang, tgt_lang = args.src_lang, args.tgt_lang
-    align_dir = Path(args.align_dir) / f"{src_lang}-{tgt_lang}"
-    src_seg_dir = Path(args.seg_dir) / src_lang
-    tgt_seg_dir = Path(args.seg_dir) / tgt_lang
+    pair_root = f"{args.src_lang}-{args.tgt_lang}"
+    align_root = Path(args.align_dir) / pair_root
+    seg_root = Path(args.seg_dir)
 
-    out_dir = Path(args.out_dir) / f"{src_lang}-{tgt_lang}"
-    out_dir.mkdir(parents=True, exist_ok=True)
+    dst_root = Path(args.out_dir) / pair_root
+    dst_root.mkdir(parents=True, exist_ok=True)
 
-    for src_audio, tgt_audio in my_tqdm(all_pairs):
+    for src_audio, tgt_audio in my_tqdm(read_metadata(args.metadata)):
         src_stem = Path(src_audio).stem
         tgt_stem = Path(tgt_audio).stem
 
-        in_align_path = align_dir / f"{src_stem}-{tgt_stem}.txt"
-        if not in_align_path.exists():
-            logger.warning(f"{in_align_path.as_posix()} not exist. Skip.")
+        align_path = align_root / f"{src_stem}-{tgt_stem}.txt"
+        if not align_path.exists():
+            logger.warning(f"{align_path.as_posix()} not exist. Skip.")
+            continue
+        alignments = read_alignments(align_path)
+        if not alignments:
+            logger.warning(f"{align_path.as_posix()} is empty. Skip.")
             continue
 
-        raw_alignments = read_alignments(in_align_path)
-        if len(raw_alignments) == 0:
-            logger.warning(f"{in_align_path.as_posix()} is empty. Skip.")
-            continue
-
-        grouped = group_aligns_by_num(
-            alignments=raw_alignments,
-            src_seg_to_frames=read_segments(src_seg_dir / f"{src_stem}.txt"),
-            tgt_seg_to_frames=read_segments(tgt_seg_dir / f"{tgt_stem}.txt"),
+        chained = chain_alignments(
+            alignments=alignments,
+            src_seg_to_frames=read_segments(seg_root / args.src_lang / f"{src_stem}.txt"),
+            tgt_seg_to_frames=read_segments(seg_root / args.tgt_lang / f"{tgt_stem}.txt"),
             max_num_align=args.max_num_align,
             max_sil=args.max_sil,
             max_dur=args.max_dur,
             sample_rate=SAMPLE_RATE,
             apply_dur_cond_to_both_sides=args.apply_dur_cond_to_both_sides,
         )
-        write_alignment(grouped, out_dir / f"{src_stem}-{tgt_stem}.txt")
+        write_alignment(chained, dst_root / f"{src_stem}-{tgt_stem}.txt")
     logger.info("Finished!")
 
 

@@ -1,10 +1,18 @@
-"""Stage 6.2 — re-check surviving alignments for untranslated duplicates.
+"""Stage 6.2 — drop alignments whose two sides are the same audio.
 
-For each alignment, compare the merged source and target spans by duration
-difference (default 0.5 s) and sliding-window fbank MSE (threshold 5.0);
-remove identical ones. ``--save_audio`` dumps the detected pairs as ogg for
-human audit. Multiprocess, skip-existing, atomic rename. (Reference
-svecalign/postprocess/filter_untrans_align.py.)
+Interpretation sessions sometimes carry the floor language through both
+channels, so a "translation pair" can be the identical clip twice. For
+every alignment, the merged source span and merged target span are
+compared: if their durations differ by at most ``--dur_diff`` seconds AND
+the best sliding-window fbank MSE between them is at most
+``--fbank_dist_thres``, the alignment is judged untranslated and removed.
+Survivors keep their original file lines (scores intact). A pair whose
+alignments are ALL untranslated writes no output file — downstream stages
+treat a missing file as "no alignments" (the reference instead crashes on
+the rename of a tmp file it never wrote; reference
+svecalign/postprocess/filter_untrans_align.py:110,172).
+
+Multiprocess over document pairs, skip-existing, atomic tmp-rename.
 
 CLI: ``python -m svecalign_tpu.postprocess.filter_untrans_align METADATA
 OUT_DIR --align_dir A --src_lang S --tgt_lang T --seg_dir D
@@ -13,7 +21,7 @@ OUT_DIR --align_dir A --src_lang S --tgt_lang T --seg_dir D
 
 import argparse
 from pathlib import Path
-from typing import List, Optional, Tuple, Union
+from typing import List, Optional, Tuple
 
 from svecalign_tpu.utils.audio_utils import SAMPLE_RATE, Segment, compute_fbank_dist
 from svecalign_tpu.utils.file_utils import (
@@ -33,78 +41,89 @@ logger = logging.getLogger(__name__)
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
-                        help="the meta file that each line contains paired audio paths")
-    parser.add_argument("out_dir", type=str, help="dir to save cleaned alignments.")
+                        help="tsv of paired src/tgt audio paths")
+    parser.add_argument("out_dir", type=str,
+                        help="destination root for the cleaned alignment files")
     parser.add_argument("--align_dir", type=str, required=True,
-                        help="where the alignments are saved.")
+                        help="root of the cost-filtered alignment files")
     parser.add_argument("--src_lang", type=str, required=True)
     parser.add_argument("--tgt_lang", type=str, required=True)
     parser.add_argument("--seg_dir", type=str, required=True,
-                        help="the dir for all segments.")
+                        help="root of the per-document VAD segment files")
     parser.add_argument("--dur_diff", type=float, default=0.5,
-                        help="the max time difference between two segments. in second")
+                        help="duration-difference gate, seconds: wider apart "
+                             "than this and the pair cannot be identical")
     parser.add_argument("--fbank_dist_thres", type=float, default=5.0,
-                        help="the MSE threshold between two fbank.")
-    parser.add_argument("--n_proc", type=int, default=1, help="Num of processes.")
+                        help="sliding-window fbank MSE at or below this "
+                             "marks the pair identical")
+    parser.add_argument("--n_proc", type=int, default=1,
+                        help="worker processes over document pairs")
     parser.add_argument("--save_audio", action="store_true", default=False,
-                        help="Whether to save the untranslated alignments as audios. "
-                             "If True, will save to `${out_dir}/wavs`.")
+                        help="dump detected duplicates as ogg under "
+                             "<out_dir>/wavs for human audit")
     return parser.parse_args()
 
 
-def check_and_save(
-    align_path: Union[str, Path],
+def spans_are_identical(
+    src_span: Segment,
+    tgt_span: Segment,
+    max_frame_diff: int,
+    fbank_dist_thres: float,
+) -> bool:
+    """Duration gate first (cheap), fbank MSE second (decodes audio)."""
+    if abs(src_span.duration - tgt_span.duration) > max_frame_diff:
+        return False
+    return compute_fbank_dist(src_span.fbank(), tgt_span.fbank()) <= fbank_dist_thres
+
+
+def filter_one_pair(
+    align_path,
     src_segs: List[Tuple[int, int]],
     tgt_segs: List[Tuple[int, int]],
-    src_audio_path: Union[str, Path],
-    tgt_audio_path: Union[str, Path],
+    src_audio_path,
+    tgt_audio_path,
     max_frame_diff: int,
     fbank_dist_thres: float,
     out_path: Path,
     audio_out_dir: Optional[Path] = None,
-    use_gpu: bool = False,
+    use_gpu: bool = False,  # call-compat; XLA picks the device
 ) -> int:
-    """Check alignment pairs; write the clean ones; return #duplicates."""
-    duplicate_cnt = 0
+    """Classify one pair's alignments; write survivors; return #duplicates.
 
+    Survivors are written as their ORIGINAL lines (the score suffix must
+    ride along untouched). When nothing survives, no file is written.
+    """
     alignments = read_alignments(align_path)
-    src_times, tgt_times, n_samples = alignments_to_timestamps(
+    src_times, tgt_times, n = alignments_to_timestamps(
         align=alignments, src_segs=src_segs, tgt_segs=tgt_segs, ignore_empty=False
     )
-    assert n_samples == len(alignments)
+    assert n == len(alignments)
 
-    align_id_to_save = []
-    for ii in range(n_samples):
-        src_seg = Segment(start=src_times[ii][0], end=src_times[ii][1], path=src_audio_path)
-        tgt_seg = Segment(start=tgt_times[ii][0], end=tgt_times[ii][1], path=tgt_audio_path)
-
-        if abs(src_seg.duration - tgt_seg.duration) > max_frame_diff:
-            align_id_to_save.append(ii)
+    survivors: List[int] = []
+    n_dupes = 0
+    for row, ((s0, s1), (t0, t1)) in enumerate(zip(src_times, tgt_times)):
+        src_span = Segment(start=s0, end=s1, path=src_audio_path)
+        tgt_span = Segment(start=t0, end=t1, path=tgt_audio_path)
+        if not spans_are_identical(src_span, tgt_span, max_frame_diff, fbank_dist_thres):
+            survivors.append(row)
             continue
-        dist = compute_fbank_dist(src_seg.fbank(use_gpu), tgt_seg.fbank(use_gpu))
-        if dist > fbank_dist_thres:
-            align_id_to_save.append(ii)
-            continue
-
-        duplicate_cnt += 1
+        n_dupes += 1
         if audio_out_dir:
             audio_out_dir.mkdir(parents=True, exist_ok=True)
-            src_seg.save((audio_out_dir / f"{ii}.src.ogg").as_posix())
-            tgt_seg.save((audio_out_dir / f"{ii}.tgt.ogg").as_posix())
+            src_span.save((audio_out_dir / f"{row}.src.ogg").as_posix())
+            tgt_span.save((audio_out_dir / f"{row}.tgt.ogg").as_posix())
 
-    if len(align_id_to_save) == 0:
+    if not survivors:
         logger.info(f"{align_path} is completely filtered out.")
     else:
         out_path.parent.mkdir(parents=True, exist_ok=True)
-        lines = read_lines(align_path)
+        raw_lines = read_lines(align_path)
         with open(out_path, mode="w") as fp:
-            for ii in align_id_to_save:
-                fp.write(f"{lines[ii]}\n")
-
-    return duplicate_cnt
+            fp.writelines(raw_lines[row] + "\n" for row in survivors)
+    return n_dupes
 
 
-def check_alignments(
+def filter_pair_shard(
     pid: int,
     audio_pairs: List[Tuple[str, str]],
     align_dir: Path,
@@ -116,75 +135,63 @@ def check_alignments(
     out_dir: Path,
     audio_out_dir: Optional[Path] = None,
 ):
-    duplicate_cnt = 0
+    """One worker's share of document pairs (mp_utils entry point)."""
+    n_dupes = 0
     for src_audio, tgt_audio in my_tqdm(audio_pairs, desc=f"[Proc {pid}]"):
-        src_stem = Path(src_audio).stem
-        tgt_stem = Path(tgt_audio).stem
+        pair_stem = f"{Path(src_audio).stem}-{Path(tgt_audio).stem}"
 
-        in_align_path = align_dir / f"{src_stem}-{tgt_stem}.txt"
-        if not in_align_path.exists():
-            logger.warning(f"{in_align_path.as_posix()} not exist. Skip.")
+        align_path = align_dir / f"{pair_stem}.txt"
+        if not align_path.exists():
+            logger.warning(f"{align_path.as_posix()} not exist. Skip.")
             continue
+        final_path = out_dir / f"{pair_stem}.txt"
+        if final_path.exists():
+            continue  # resumed run: already done
 
-        out_align_path = out_dir / f"{src_stem}-{tgt_stem}.txt"
-        if out_align_path.exists():
-            continue  # skip processed
-
-        tmp_out = out_align_path.with_suffix(".tmp")
-        delete_if_exist(tmp_out)
-
-        duplicate_cnt += check_and_save(
-            align_path=in_align_path,
-            src_segs=read_segments(seg_dir / src_lang / f"{src_stem}.txt"),
-            tgt_segs=read_segments(seg_dir / tgt_lang / f"{tgt_stem}.txt"),
+        staging = final_path.with_suffix(".tmp")
+        delete_if_exist(staging)
+        n_dupes += filter_one_pair(
+            align_path=align_path,
+            src_segs=read_segments(seg_dir / src_lang / f"{Path(src_audio).stem}.txt"),
+            tgt_segs=read_segments(seg_dir / tgt_lang / f"{Path(tgt_audio).stem}.txt"),
             src_audio_path=src_audio,
             tgt_audio_path=tgt_audio,
             max_frame_diff=max_frame_diff,
             fbank_dist_thres=fbank_dist_thres,
-            out_path=tmp_out,
-            audio_out_dir=(audio_out_dir / f"{src_stem}-{tgt_stem}")
-            if audio_out_dir is not None
-            else None,
+            out_path=staging,
+            audio_out_dir=(audio_out_dir / pair_stem) if audio_out_dir else None,
         )
-        # a completely-filtered pair writes no tmp file at all; missing
-        # output = "no alignments" downstream (the reference crashes here:
-        # its tmp_out_align_path.replace raises FileNotFoundError,
-        # reference filter_untrans_align.py:110,172)
-        if tmp_out.exists():
-            tmp_out.replace(out_align_path)
+        # a completely-filtered pair wrote no staging file; the absence of
+        # the final file is the downstream signal for "no alignments"
+        if staging.exists():
+            staging.replace(final_path)
 
-    logger.info(f"Found {duplicate_cnt} duplications!")
+    logger.info(f"Found {n_dupes} duplications!")
 
 
 def main():
     args = parse_args()
     logger.info(args)
 
-    all_pairs = read_metadata(args.metadata)
-    max_frame_diff = int(args.dur_diff * SAMPLE_RATE)
-
-    src_lang, tgt_lang = args.src_lang, args.tgt_lang
-    align_dir = Path(args.align_dir) / f"{src_lang}-{tgt_lang}"
-
-    out_dir = Path(args.out_dir) / f"{src_lang}-{tgt_lang}"
-    out_dir.mkdir(parents=True, exist_ok=True)
+    dst_root = Path(args.out_dir) / f"{args.src_lang}-{args.tgt_lang}"
+    dst_root.mkdir(parents=True, exist_ok=True)
 
     audio_out_dir = None
     if args.save_audio:
-        audio_out_dir = out_dir / "wavs"
+        audio_out_dir = dst_root / "wavs"
         audio_out_dir.mkdir(parents=True, exist_ok=True)
 
     start_multi_processes(
-        data=all_pairs,
+        data=read_metadata(args.metadata),
         n_proc=args.n_proc,
-        func=check_alignments,
-        align_dir=align_dir,
+        func=filter_pair_shard,
+        align_dir=Path(args.align_dir) / f"{args.src_lang}-{args.tgt_lang}",
         seg_dir=Path(args.seg_dir),
-        src_lang=src_lang,
-        tgt_lang=tgt_lang,
-        max_frame_diff=max_frame_diff,
+        src_lang=args.src_lang,
+        tgt_lang=args.tgt_lang,
+        max_frame_diff=int(args.dur_diff * SAMPLE_RATE),
         fbank_dist_thres=args.fbank_dist_thres,
-        out_dir=out_dir,
+        out_dir=dst_root,
         audio_out_dir=audio_out_dir,
     )
 

@@ -1,8 +1,15 @@
-"""Stage 6.8 — export alignments + segment maps as one global tsv.
+"""Stage 6.8 — flatten per-pair alignment files into the global mined tsv.
 
-Each line: ``score \t src_path start_frame end_frame 16 \t tgt_path start
-end 16``, sorted by score descending. Refuses to overwrite. (Reference
-svecalign/postprocess/prep_tsv.py.)
+Every surviving alignment becomes one row of ``align.tsv.gz``::
+
+    <margin>\t<src_audio> <start> <end> 16\t<tgt_audio> <start> <end> 16
+
+where start/end are 16 kHz frame offsets covering the aligned segment
+group (first segment's start to last segment's end), and rows are ordered
+best-margin-first across the whole corpus. Downstream consumers (overlap
+removal, training-manifest cuts) take score-ranked prefixes of this file,
+so the global ordering is part of the format contract
+(reference: svecalign/postprocess/prep_tsv.py).
 
 CLI: ``python -m svecalign_tpu.postprocess.prep_tsv METADATA OUT_DIR
 --src_lang S --tgt_lang T --align_dir A --seg_dir D``
@@ -10,7 +17,7 @@ CLI: ``python -m svecalign_tpu.postprocess.prep_tsv METADATA OUT_DIR
 
 import argparse
 from pathlib import Path
-from typing import List, Tuple, Union
+from typing import List, Tuple
 
 import svecalign_tpu.utils.file_utils as file_utils
 from svecalign_tpu.utils.file_utils import (
@@ -22,89 +29,91 @@ from svecalign_tpu.utils.log_utils import logging, my_tqdm
 
 logger = logging.getLogger(__name__)
 
+# third field of each span triple: the corpus sample rate in kHz
+SAMPLE_RATE_KHZ = 16
+
 
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
-                        help="the meta file that each line contains paired audio paths")
-    parser.add_argument("out_dir", type=str, help="output dir of the tsv file.")
+                        help="tsv of paired src/tgt audio paths")
+    parser.add_argument("out_dir", type=str,
+                        help="destination root; tsv lands under <out>/<sl>-<tl>/")
     parser.add_argument("--src_lang", type=str, required=True)
     parser.add_argument("--tgt_lang", type=str, required=True)
     parser.add_argument("--align_dir", type=str, required=True,
-                        help="dir to all alignments.")
+                        help="root of the scored alignment files")
     parser.add_argument("--seg_dir", type=str, required=True,
-                        help="dir for original segments.")
+                        help="root of the original VAD segment files")
     return parser.parse_args()
 
 
-def make_meta(
-    align_path: Union[Path, str],
-    src_seg_path: Union[Path, str],
-    tgt_seg_path: Union[Path, str],
-    src_audio_path: str,
-    tgt_audio_path: str,
+def rows_for_pair(
+    align_path,
+    src_seg_path,
+    tgt_seg_path,
+    src_audio: str,
+    tgt_audio: str,
 ) -> List[Tuple[float, str]]:
-    """tsv rows (score, line) for one alignment file."""
-    src_segs = read_segments(src_seg_path)
-    tgt_segs = read_segments(tgt_seg_path)
+    """Render one document pair's alignments as (margin, tsv row) tuples.
 
-    src_frames, tgt_frames, tot = alignments_to_timestamps(
-        align_path, src_segs, tgt_segs, ignore_empty=False
+    The alignment file is parsed once; its index spans are resolved to
+    frame ranges against the segment tables. Empty-side alignments are a
+    format violation at this stage (deletions were filtered upstream), so
+    ``ignore_empty=False`` lets the resolver raise on them.
+    """
+    scored = read_alignments_with_score(align_path)
+    spans = [(src_ids, tgt_ids) for src_ids, tgt_ids, _ in scored]
+    src_times, tgt_times, n = alignments_to_timestamps(
+        spans, read_segments(src_seg_path), read_segments(tgt_seg_path),
+        ignore_empty=False,
     )
-    alignments = read_alignments_with_score(align_path)
-    assert len(src_frames) == len(tgt_frames) == len(alignments)
+    assert n == len(scored)
 
-    res = []
-    for i in range(tot):
-        score = float(alignments[i][2])
-        src_info = f"{src_audio_path} {src_frames[i][0]} {src_frames[i][1]} 16"
-        tgt_info = f"{tgt_audio_path} {tgt_frames[i][0]} {tgt_frames[i][1]} 16"
-        res.append((score, f"{score}" + "\t" + src_info + "\t" + tgt_info))
-    return res
+    out = []
+    for (s0, s1), (t0, t1), (_, _, margin) in zip(src_times, tgt_times, scored):
+        margin = float(margin)
+        row = (f"{margin}"
+               f"\t{src_audio} {s0} {s1} {SAMPLE_RATE_KHZ}"
+               f"\t{tgt_audio} {t0} {t1} {SAMPLE_RATE_KHZ}")
+        out.append((margin, row))
+    return out
 
 
 def main():
     args = parse_args()
     logger.info(args)
 
-    all_pairs = file_utils.read_metadata(args.metadata)
-    src_lang, tgt_lang = args.src_lang, args.tgt_lang
+    pair_root = f"{args.src_lang}-{args.tgt_lang}"
+    align_root = Path(args.align_dir) / pair_root
+    seg_root = Path(args.seg_dir)
 
-    align_dir = Path(args.align_dir) / f"{src_lang}-{tgt_lang}"
-    src_seg_dir = Path(args.seg_dir) / src_lang
-    tgt_seg_dir = Path(args.seg_dir) / tgt_lang
+    dst_dir = Path(args.out_dir) / pair_root
+    dst_dir.mkdir(parents=True, exist_ok=True)
+    dst = dst_dir / "align.tsv.gz"
+    assert not dst.exists(), f"{dst} exists. Will not overwrite."
 
-    out_dir = Path(args.out_dir) / f"{src_lang}-{tgt_lang}"
-    out_dir.mkdir(parents=True, exist_ok=True)
-    out_path = out_dir / "align.tsv.gz"
-    assert not out_path.exists(), f"{out_path} exists. Will not overwrite."
-
-    meta_collections: List[Tuple[float, str]] = []
-    for src_aud_path, tgt_aud_path in my_tqdm(all_pairs):
-        src_stem = Path(src_aud_path).stem
-        tgt_stem = Path(tgt_aud_path).stem
-
-        align_path = align_dir / f"{src_stem}-{tgt_stem}.txt"
+    corpus: List[Tuple[float, str]] = []
+    for src_audio, tgt_audio in my_tqdm(file_utils.read_metadata(args.metadata)):
+        src_stem = Path(src_audio).stem
+        tgt_stem = Path(tgt_audio).stem
+        align_path = align_root / f"{src_stem}-{tgt_stem}.txt"
         if not align_path.exists():
-            logger.warning(f"{align_path} not exist. Skip.")
+            logger.warning(f"no alignment file {align_path}; skipping pair")
             continue
+        corpus.extend(rows_for_pair(
+            align_path,
+            seg_root / args.src_lang / f"{src_stem}.txt",
+            seg_root / args.tgt_lang / f"{tgt_stem}.txt",
+            src_audio, tgt_audio,
+        ))
 
-        meta_collections.extend(
-            make_meta(
-                align_path,
-                src_seg_dir / f"{src_stem}.txt",
-                tgt_seg_dir / f"{tgt_stem}.txt",
-                src_aud_path,
-                tgt_aud_path,
-            )
-        )
+    # stable sort on the margin alone: equal-margin rows keep corpus order
+    corpus.sort(key=lambda scored: scored[0], reverse=True)
 
-    meta_collections.sort(key=lambda x: -x[0])
-
-    with file_utils.open(out_path, mode="w") as fp:
-        for _, line in meta_collections:
-            fp.write(line + "\n")
-    logger.info("Finished!")
+    with file_utils.open(dst, mode="w") as fp:
+        fp.writelines(row + "\n" for _, row in corpus)
+    logger.info(f"wrote {len(corpus)} rows to {dst}")
 
 
 if __name__ == "__main__":

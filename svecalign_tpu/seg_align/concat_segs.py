@@ -1,9 +1,14 @@
-"""Stage 5.1 — enumerate overlap windows of consecutive VAD segments.
+"""Stage 5.1 — enumerate candidate spans: runs of consecutive VAD segments.
 
-For each segment i, emit ``"start_i end_j"`` for j = i..i+num_overlaps-1
-while the window stays under ``max_dur``. Output is sorted lexicographically
-as strings for reproducibility and doubles as the row mapping of the
-embedding file. (Reference svecalign/seg_align/concat_segs.py:64-126.)
+The aligner scores *groups* of adjacent segments against each other, so
+this stage expands each document's VAD table into every run of 1..N
+consecutive segments whose audio extent (first start to last end,
+including inter-segment silence) fits a duration cap. Each run becomes a
+``"start end"`` frame-range line; the file is sorted lexicographically on
+those strings and its line order is the row order of the embedding matrix
+produced downstream — reordering here would silently scramble every
+embedding lookup (reference: svecalign/seg_align/concat_segs.py, itself
+derived from vecalign's overlap.py).
 
 CLI: ``python -m svecalign_tpu.seg_align.concat_segs METADATA OUT_DIR
 --seg_dir D --lang L [--use_tgt] [--num_overlaps 5] [--max_dur 20.0]``
@@ -11,7 +16,7 @@ CLI: ``python -m svecalign_tpu.seg_align.concat_segs METADATA OUT_DIR
 
 import argparse
 from pathlib import Path
-from typing import List, Union
+from typing import Iterator, List, Tuple
 
 from svecalign_tpu.utils.audio_utils import SAMPLE_RATE
 from svecalign_tpu.utils.file_utils import read_metadata, read_segments
@@ -23,81 +28,81 @@ logger = logging.getLogger(__name__)
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
-                        help="the meta file that each line contains paired audio paths")
-    parser.add_argument("out_dir", type=str, help="the output dir.")
+                        help="tsv of paired src/tgt audio paths")
+    parser.add_argument("out_dir", type=str,
+                        help="destination root; files land under <out>/<lang>/")
     parser.add_argument("--seg_dir", type=str, required=True,
-                        help="dir saving all segments.")
-    parser.add_argument("--lang", type=str, required=True, help="the language code.")
+                        help="root of the per-document VAD segment files")
+    parser.add_argument("--lang", type=str, required=True)
     parser.add_argument("--use_tgt", action="store_true", default=False,
-                        help="whether to use the target side.")
+                        help="take column 2 of the metadata instead of column 1")
     parser.add_argument("--num_overlaps", type=int, default=5,
-                        help="Maximum number of allowed overlaps.")
+                        help="longest run of consecutive segments to span")
     parser.add_argument("--max_dur", type=float, default=20.0,
-                        help="Maximum time each concatenated segment can have. (in seconds)")
+                        help="duration cap per span, seconds of audio extent")
     return parser.parse_args()
 
 
-def get_overlaps(
-    in_path: Union[str, Path],
-    num_overlaps: int,
-    max_frames: int,
-) -> List[str]:
-    assert num_overlaps > 0, num_overlaps
-    segs = read_segments(in_path)
+def iter_spans(
+    segs: List[Tuple[int, int]],
+    max_run: int,
+    frame_cap: int,
+) -> Iterator[Tuple[int, int]]:
+    """Yield the frame extent of every admissible segment run.
 
-    overlaps: List[str] = []
-    for i, (start, end) in enumerate(segs):
-        if end - start > max_frames:
-            # even the single segment exceeds the duration cap
-            continue
-        overlaps.append(f"{start} {end}")
-        for j in range(1, num_overlaps):
-            if i + j >= len(segs):
+    A run is anchored at segment k and extends over at most ``max_run``
+    consecutive segments; its extent is (segs[k].start, last.end).
+    Extension stops at the FIRST segment whose end overflows the cap —
+    VAD tables are monotone, so no later end can fit either. An anchor
+    whose own segment already overflows contributes no spans at all.
+    """
+    assert max_run > 0, max_run
+    for k in range(len(segs)):
+        anchor = segs[k][0]
+        for _, stop in segs[k:k + max_run]:
+            if stop - anchor > frame_cap:
                 break
-            if segs[i + j][1] - start > max_frames:
-                break
-            overlaps.append(f"{start} {segs[i + j][1]}")
-    return overlaps
+            yield anchor, stop
 
 
-def overlap(
-    in_path: Union[str, Path],
+def write_span_file(
+    in_path,
     out_path: Path,
     num_overlaps: int,
     max_dur: float = 30.0,
     sample_rate: int = SAMPLE_RATE,
 ) -> None:
-    max_frames = int(max_dur * sample_rate)
-    overlaps = get_overlaps(in_path, num_overlaps, max_frames=max_frames)
+    """Expand one document's VAD table into its sorted span file."""
+    frame_cap = int(max_dur * sample_rate)
+    spans = iter_spans(read_segments(in_path), num_overlaps, frame_cap)
 
-    if len(overlaps) == 0:
-        logger.warning(f"encountered 0 line from {in_path}")
-
-    overlaps = sorted(overlaps)  # lexicographic, for reproducibility
-    logger.debug(f"Got {len(overlaps)} segments")
+    # lexicographic sort of the *strings* is the format contract: the
+    # embedding stage re-reads this file and trusts line order as row order
+    lines = sorted(f"{lo} {hi}" for lo, hi in spans)
+    if not lines:
+        logger.warning(f"no admissible spans in {in_path}")
 
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, mode="w") as fp:
-        for overlap_str in overlaps:
-            fp.write(f"{overlap_str}\n")
+        fp.writelines(line + "\n" for line in lines)
 
 
 def main():
     args = parse_args()
     logger.info(args)
 
-    all_pairs = read_metadata(args.metadata)
-    all_inputs = sorted({pair[1] if args.use_tgt else pair[0] for pair in all_pairs})
+    side = 1 if args.use_tgt else 0
+    documents = sorted({pair[side] for pair in read_metadata(args.metadata)})
 
-    seg_dir = Path(args.seg_dir) / args.lang
-    out_dir = Path(args.out_dir) / args.lang
-    out_dir.mkdir(parents=True, exist_ok=True)
+    seg_root = Path(args.seg_dir) / args.lang
+    dst_root = Path(args.out_dir) / args.lang
+    dst_root.mkdir(parents=True, exist_ok=True)
 
-    for audio_path in my_tqdm(all_inputs):
-        audio_stem = Path(audio_path).stem
-        overlap(
-            in_path=seg_dir / f"{audio_stem}.txt",
-            out_path=out_dir / f"{audio_stem}.txt",
+    for audio_path in my_tqdm(documents):
+        stem = Path(audio_path).stem
+        write_span_file(
+            in_path=seg_root / f"{stem}.txt",
+            out_path=dst_root / f"{stem}.txt",
             num_overlaps=args.num_overlaps,
             max_dur=args.max_dur,
         )

@@ -1,9 +1,12 @@
-"""Stage 5.2 — derive the overlap ids to ignore from untranslated segments.
+"""Stage 5.2 — project untranslated-segment flags onto the span table.
 
-Re-runs the overlap enumeration: for each window start i, emit (i, j) when
-segment j is identical-untranslated, meaning overlaps (i..j) and beyond
-must be zeroed during embedding loading. (Reference svecalign/seg_align/
-detect_untranslate_concats.py:65-152.)
+Stage 4 flagged individual VAD segments as "identical across languages"
+(untranslated boilerplate). The embedding loader, however, works in span
+space — runs of consecutive segments produced by concat_segs — so this
+stage replays the same run-admission rule and records, for each anchor
+whose run touches a flagged segment, the pair ``anchor first_flagged``.
+The loader zeroes every span row from that point on (reference:
+svecalign/seg_align/detect_untranslate_concats.py).
 
 CLI: ``python -m svecalign_tpu.seg_align.detect_untranslate_concats
 METADATA OUT_DIR --seg_dir D --identical_seg_dir U --src_lang S --tgt_lang T``
@@ -11,7 +14,7 @@ METADATA OUT_DIR --seg_dir D --identical_seg_dir U --src_lang S --tgt_lang T``
 
 import argparse
 from pathlib import Path
-from typing import List, Set, Tuple, Union
+from typing import List, Set, Tuple
 
 from svecalign_tpu.utils.audio_utils import SAMPLE_RATE
 from svecalign_tpu.utils.file_utils import read_metadata, read_segments
@@ -23,98 +26,82 @@ logger = logging.getLogger(__name__)
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
-                        help="the meta file that each line contains paired audio paths")
-    parser.add_argument("out_dir", type=str, help="the output dir.")
+                        help="tsv of paired src/tgt audio paths")
+    parser.add_argument("out_dir", type=str,
+                        help="destination root; files land under <out>/<sl>-<tl>/")
     parser.add_argument("--seg_dir", type=str, required=True,
-                        help="dir saving all segments.")
+                        help="root of the per-document VAD segment files")
     parser.add_argument("--identical_seg_dir", type=str, required=True,
-                        help="dir saving all untranslated identical segment ids.")
+                        help="root of the stage-4 untranslated segment-id files")
     parser.add_argument("--src_lang", required=True, type=str)
     parser.add_argument("--tgt_lang", required=True, type=str)
     parser.add_argument("--num_overlaps", type=int, default=5,
-                        help="Maximum number of allowed overlaps.")
+                        help="longest run of consecutive segments to span "
+                             "(must match concat_segs)")
     parser.add_argument("--max_dur", type=float, default=20.0,
-                        help="Maximum time each concatenated segment can have. (in seconds)")
+                        help="duration cap per span, seconds (must match concat_segs)")
     return parser.parse_args()
 
 
-def load_indices(path: Union[str, Path]) -> Set[int]:
-    res = set()
+def read_flagged_ids(path) -> Set[int]:
+    """One integer segment index per line."""
     with open(path) as fp:
-        for line in fp:
-            res.add(int(line.strip()))
-    return res
+        return {int(line.strip()) for line in fp}
 
 
-def get_identical_overlap_ids(
-    in_path: Union[str, Path],
-    num_overlaps: int,
-    max_frames: int,
-    identical_segs_path: Union[str, Path],
+def flag_hits_per_anchor(
+    segs: List[Tuple[int, int]],
+    flagged: Set[int],
+    max_run: int,
+    frame_cap: int,
 ) -> List[Tuple[int, int]]:
-    """Rerun the overlap enumeration, flagging windows that hit an
-    identical segment."""
-    assert num_overlaps > 0, num_overlaps
+    """Walk each anchor's admissible run; report its first flagged member.
 
-    segs = read_segments(in_path)
-    identical_segs = load_indices(identical_segs_path)
-
-    ignore_indices: List[Tuple[int, int]] = []
-    for i, (start, end) in enumerate(segs):
-        if end - start > max_frames:
-            continue
-        if i in identical_segs:
-            ignore_indices.append((i, i))
-            continue
-        for j in range(1, num_overlaps):
-            if i + j >= len(segs):
+    The run-admission rule must mirror concat_segs.iter_spans exactly
+    (same cap, same first-overflow stop), because the output indexes into
+    the span table that rule generated. A run with no flagged member
+    contributes nothing; one hit per anchor suffices since the loader
+    zeroes all longer spans of the same anchor anyway.
+    """
+    assert max_run > 0, max_run
+    hits = []
+    for k, (lo, hi) in enumerate(segs):
+        if hi - lo > frame_cap:
+            continue  # anchor inadmissible: it anchors no spans at all
+        for j in range(k, min(k + max_run, len(segs))):
+            if segs[j][1] - lo > frame_cap:
                 break
-            if segs[i + j][1] - start > max_frames:
+            if j in flagged:
+                hits.append((k, j))
                 break
-            if (i + j) in identical_segs:
-                ignore_indices.append((i, i + j))
-                break
-    return ignore_indices
+    return hits
 
 
 def main():
     args = parse_args()
     logger.info(args)
 
-    all_pairs = read_metadata(args.metadata)
+    pair_root = f"{args.src_lang}-{args.tgt_lang}"
+    seg_root = Path(args.seg_dir)
+    flags_root = Path(args.identical_seg_dir) / pair_root
 
-    src_lang, tgt_lang = args.src_lang, args.tgt_lang
-    seg_dir = Path(args.seg_dir)
-    identical_seg_dir = Path(args.identical_seg_dir) / f"{src_lang}-{tgt_lang}"
+    dst_root = Path(args.out_dir) / pair_root
+    dst_root.mkdir(parents=True, exist_ok=True)
 
-    out_dir = Path(args.out_dir) / f"{src_lang}-{tgt_lang}"
-    out_dir.mkdir(parents=True, exist_ok=True)
+    frame_cap = int(args.max_dur * SAMPLE_RATE)
 
-    max_frames = int(args.max_dur * SAMPLE_RATE)
-
-    for src_audio_path, tgt_audio_path in my_tqdm(all_pairs):
-        src_stem = Path(src_audio_path).stem
-        tgt_stem = Path(tgt_audio_path).stem
-
-        src_ignore = get_identical_overlap_ids(
-            in_path=seg_dir / src_lang / f"{src_stem}.txt",
-            num_overlaps=args.num_overlaps,
-            max_frames=max_frames,
-            identical_segs_path=identical_seg_dir / f"{src_stem}-{tgt_stem}.src.txt",
-        )
-        tgt_ignore = get_identical_overlap_ids(
-            in_path=seg_dir / tgt_lang / f"{tgt_stem}.txt",
-            num_overlaps=args.num_overlaps,
-            max_frames=max_frames,
-            identical_segs_path=identical_seg_dir / f"{src_stem}-{tgt_stem}.tgt.txt",
-        )
-
-        with open(out_dir / f"{src_stem}-{tgt_stem}.src.txt", mode="w") as fp:
-            for i, j in src_ignore:
-                fp.write(f"{i} {j}\n")
-        with open(out_dir / f"{src_stem}-{tgt_stem}.tgt.txt", mode="w") as fp:
-            for i, j in tgt_ignore:
-                fp.write(f"{i} {j}\n")
+    for src_audio, tgt_audio in my_tqdm(read_metadata(args.metadata)):
+        pair_stem = f"{Path(src_audio).stem}-{Path(tgt_audio).stem}"
+        for side, lang, audio in (("src", args.src_lang, src_audio),
+                                  ("tgt", args.tgt_lang, tgt_audio)):
+            hits = flag_hits_per_anchor(
+                read_segments(seg_root / lang / f"{Path(audio).stem}.txt"),
+                read_flagged_ids(flags_root / f"{pair_stem}.{side}.txt"),
+                max_run=args.num_overlaps,
+                frame_cap=frame_cap,
+            )
+            with open(dst_root / f"{pair_stem}.{side}.txt", mode="w") as fp:
+                fp.writelines(f"{k} {j}\n" for k, j in hits)
 
     logger.info("Finished!")
 

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast parity gate
+
 import jax.numpy as jnp
 
 from svecalign_tpu.ops import costs as costs_ops

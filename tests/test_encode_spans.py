@@ -10,6 +10,8 @@ device-side).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast parity gate
+
 from svecalign_tpu.models.laser_encoder import SpeechLaserModel
 from svecalign_tpu.models.sonar_encoder import SonarSpeechModel
 from tests.test_models import TINY_LASER, TINY_SONAR

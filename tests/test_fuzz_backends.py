@@ -4,6 +4,8 @@ the C++ float64 kernel must agree on random banded-DP instances."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast parity gate
+
 from svecalign_tpu.ops import costs as costs_ops
 from svecalign_tpu.ops import dp as dp_ops
 from svecalign_tpu.ops.dp_native import run_banded_dp_native

@@ -10,6 +10,8 @@ SpeechLASER/XLSR checkpoints produce correct embeddings.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast parity gate
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -4,6 +4,8 @@ long synthetic document pair, per-pair and batched."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast parity gate
+
 import jax.numpy as jnp
 
 from svecalign_tpu.ops import costs as costs_ops

@@ -7,6 +7,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the fast parity gate
+
 STEM = "20180313-0900-PLENARY-15"
 PAIR = f"{STEM}_en-{STEM}_de"
 

@@ -11,12 +11,16 @@ from pathlib import Path
 
 import pytest
 
-from svecalign_tpu.postprocess.concat_aligns import group_aligns_by_num
+from svecalign_tpu.postprocess.concat_aligns import chain_alignments
 from svecalign_tpu.postprocess.filter_by_cost import do_filter as cost_filter
 from svecalign_tpu.postprocess.filter_by_dur import do_filter as dur_filter
 from svecalign_tpu.postprocess.remove_overlaps import remove_overlaps
-from svecalign_tpu.seg_align.concat_segs import overlap
-from svecalign_tpu.seg_align.detect_untranslate_concats import get_identical_overlap_ids
+from svecalign_tpu.seg_align.concat_segs import write_span_file
+from svecalign_tpu.seg_align.detect_untranslate_concats import (
+    flag_hits_per_anchor,
+    read_flagged_ids,
+)
+from svecalign_tpu.utils.file_utils import read_segments
 from svecalign_tpu.utils.audio_utils import SAMPLE_RATE
 from svecalign_tpu.utils.file_utils import read_alignments, read_segments
 
@@ -27,7 +31,7 @@ PAIR = f"{STEM}_en-{STEM}_de"
 def test_concat_segs_bit_exact(example_dir, tmp_path):
     for lang in ["en", "de"]:
         out = tmp_path / f"{STEM}_{lang}.txt"
-        overlap(
+        write_span_file(
             in_path=example_dir / "segments" / lang / f"{STEM}_{lang}.txt",
             out_path=out,
             num_overlaps=5,
@@ -39,11 +43,11 @@ def test_concat_segs_bit_exact(example_dir, tmp_path):
 
 def test_detect_untranslate_concats_bit_exact(example_dir):
     for side, lang in [("src", "en"), ("tgt", "de")]:
-        got = get_identical_overlap_ids(
-            in_path=example_dir / "segments" / lang / f"{STEM}_{lang}.txt",
-            num_overlaps=5,
-            max_frames=int(20.0 * SAMPLE_RATE),
-            identical_segs_path=example_dir / "untrans_segs/en-de" / f"{PAIR}.{side}.txt",
+        got = flag_hits_per_anchor(
+            read_segments(example_dir / "segments" / lang / f"{STEM}_{lang}.txt"),
+            read_flagged_ids(example_dir / "untrans_segs/en-de" / f"{PAIR}.{side}.txt"),
+            max_run=5,
+            frame_cap=int(20.0 * SAMPLE_RATE),
         )
         want = example_dir / "untrans_cat_seg_ids/en-de" / f"{PAIR}.{side}.txt"
         want_pairs = [tuple(map(int, line.split())) for line in want.read_text().split("\n") if line]
@@ -65,7 +69,7 @@ def test_concat_aligns_bit_exact(example_dir, tmp_path):
     src_segs = read_segments(example_dir / "segments/en" / f"{STEM}_en.txt")
     tgt_segs = read_segments(example_dir / "segments/de" / f"{STEM}_de.txt")
     raw = read_alignments(example_dir / "align_0.7_clean/en-de" / f"{PAIR}.txt")
-    got = group_aligns_by_num(
+    got = chain_alignments(
         alignments=raw,
         src_seg_to_frames=src_segs,
         tgt_seg_to_frames=tgt_segs,
