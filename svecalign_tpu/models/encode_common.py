@@ -88,7 +88,10 @@ class SpanEncoderMixin:
         waveform = np.asarray(waveform, dtype=np.float32)
         if waveform.ndim == 2:
             waveform = waveform[:, 0]
-        buckets_s = self.WAVE_BUCKETS_S or assemble.WAVE_BUCKETS_S
+        # sorted() guards per-instance overrides: the bucket scan below
+        # assumes ascending order (an unsorted list would silently pick an
+        # oversized bucket or miss a fitting one)
+        buckets_s = sorted(self.WAVE_BUCKETS_S or assemble.WAVE_BUCKETS_S)
         wave_len = next(
             (b * 16000 for b in buckets_s if len(waveform) <= b * 16000), None
         )

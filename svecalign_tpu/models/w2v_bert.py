@@ -83,6 +83,11 @@ class W2vBertConfig:
     # on TPU (ops/attention_pallas.py — measured 3.9x the XLA layout at
     # mining shapes), the HF-layout XLA einsum elsewhere; "xla" forces the
     # reference layout (parity tests), "pallas" forces the kernel.
+    # RESTRICTION ("auto"/"pallas"): the fused kernel rebuilds key masking
+    # from lengths = sum(pad_mask), which is only equivalent to attn_bias
+    # for CONTIGUOUS padding (pad_mask == arange < lengths). Every current
+    # caller satisfies this (the SONAR frontend builds exactly that mask,
+    # sonar_encoder.py:152); a non-contiguous mask requires "xla".
     attention_backend: str = "auto"
 
     @property

@@ -746,6 +746,11 @@ class ShardedIVFIndex:
     behavior. Two programs per query chunk: a needed-block count (fixes the
     static per-shard gather budget G, power-of-two bucketed like the
     single-device path) and the shard_map probe+gather+score+merge.
+
+    SNAPSHOT semantics: the wrapped index's vectors, assignments and nprobe
+    are copied (and re-laid-out) at construction. Mutating the wrapped
+    IVFIndex afterwards does not propagate; searches assert freshness and
+    fail loudly instead of silently returning results over an old corpus.
     """
 
     BLOCK = IVFIndex.BLOCK
@@ -763,6 +768,11 @@ class ShardedIVFIndex:
         self.nprobe = ivf.nprobe
         self.query_upload = query_upload or ivf.query_upload
         self._ntotal = ivf.ntotal
+        # snapshot semantics: the wrapped index's vectors/assignments/nprobe
+        # are copied at construction; later ivf.add() or nprobe changes do
+        # NOT propagate. Keep a handle so searches can detect staleness.
+        self._source = ivf
+        self._source_nprobe = ivf.nprobe
 
         n_dev = mesh.devices.size
         bs = self.BLOCK
@@ -880,7 +890,20 @@ class ShardedIVFIndex:
         g = max(int(per_shard.max()), 1)
         return min(1 << (g - 1).bit_length(), self._nb_shard)
 
+    def _check_fresh(self) -> None:
+        """Refuse to search over a stale snapshot (see __init__)."""
+        assert self._source.ntotal == self._ntotal, (
+            f"wrapped IVFIndex grew after sharding ({self._source.ntotal} vs "
+            f"{self._ntotal} rows); rebuild the ShardedIVFIndex"
+        )
+        assert self._source.nprobe == self._source_nprobe, (
+            f"wrapped IVFIndex nprobe changed after sharding "
+            f"({self._source.nprobe} vs {self._source_nprobe}); rebuild the "
+            "ShardedIVFIndex"
+        )
+
     def _run_chunks(self, stage_chunk, nq: int, k: int):
+        self._check_fresh()
         d_out = np.full((nq, k), np.inf, dtype=np.float32)
         i_out = np.full((nq, k), -1, dtype=np.int64)
         chunk = self.QUERY_CHUNK

@@ -54,6 +54,12 @@ def do_filter(
     assert (max_cost is None) != (min_cost is None), \
         f"need exactly one bound, got min={min_cost} max={max_cost}"
 
+    if not Path(in_path).exists():
+        # upstream stages skip invalid pairs without writing a file; a
+        # missing input means "no alignments", not a crash
+        logger.warning(f"{in_path} does not exist; skipping pair")
+        return 1.0
+
     survivors = []
     total = n_deletion = n_over_cost = 0
     for src_ids, tgt_ids, cost in read_alignments_with_score(in_path):
@@ -78,7 +84,9 @@ def do_filter(
         f"(cost-gated {n_over_cost}, deletions {n_deletion}, "
         f"bound {min_cost if max_cost is None else max_cost})"
     )
-    return len(survivors) / total
+    # an empty input file has nothing to lose: survival is vacuously 1.0
+    # (and must not divide by zero)
+    return len(survivors) / total if total else 1.0
 
 
 def main():

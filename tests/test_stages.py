@@ -20,7 +20,6 @@ from svecalign_tpu.seg_align.detect_untranslate_concats import (
     flag_hits_per_anchor,
     read_flagged_ids,
 )
-from svecalign_tpu.utils.file_utils import read_segments
 from svecalign_tpu.utils.audio_utils import SAMPLE_RATE
 from svecalign_tpu.utils.file_utils import read_alignments, read_segments
 
@@ -182,3 +181,20 @@ def test_raw_embed_roundtrip(tmp_path):
         assert back.shape == (13, 1024) and back.dtype == np.float32
         tol = 1e-3 if fp16 else 0
         np.testing.assert_allclose(back, emb, atol=tol)
+
+
+def test_filter_by_cost_tolerates_missing_and_empty_inputs(tmp_path):
+    # a pair the align stage skipped has no file: survival is vacuous, no crash
+    assert cost_filter(
+        in_path=str(tmp_path / "absent.txt"),
+        out_path=str(tmp_path / "out.txt"),
+        max_cost=0.7,
+    ) == 1.0
+    # an empty alignment file must not divide by zero
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    assert cost_filter(
+        in_path=str(empty), out_path=str(tmp_path / "out2.txt"), max_cost=0.7
+    ) == 1.0
+    assert not (tmp_path / "out.txt").exists()
+    assert not (tmp_path / "out2.txt").exists()

@@ -474,3 +474,25 @@ def test_sharded_ivf_device_queries_and_padding():
     d_s, i_s = sh.search_device_queries(jnp.asarray(queries), 4)
     np.testing.assert_allclose(d_s, d_ref, rtol=1e-5, atol=1e-5)
     assert (i_s == i_ref).mean() > 0.99
+
+
+def test_sharded_ivf_rejects_stale_snapshot():
+    """Mutating the wrapped IVFIndex after sharding must fail loudly at
+    search time, not silently search the old corpus."""
+    from svecalign_tpu.ops.topk import ShardedIVFIndex
+
+    rng = np.random.default_rng(3)
+    corpus = normalize_l2(rng.standard_normal((1024, 32)).astype(np.float32))
+    ivf = IVFIndex(dim=32, nlist=8, nprobe=2)
+    ivf.train(corpus[:512])
+    ivf.add(corpus)
+    sh = ShardedIVFIndex(ivf)
+
+    ivf.nprobe = 4
+    with pytest.raises(AssertionError, match="nprobe changed"):
+        sh.search(corpus[:4], 4)
+    ivf.nprobe = 2
+
+    ivf.add(corpus[:8])
+    with pytest.raises(AssertionError, match="grew after sharding"):
+        sh.search(corpus[:4], 4)
