@@ -70,23 +70,16 @@ def povey_window(window_size: int) -> np.ndarray:
     return (hann**0.85).astype(np.float32)
 
 
-def fbank_device(
-    waveform: jax.Array,
+def _frames_to_mel(
+    frames: jax.Array,
     sample_rate: int,
     num_mel_bins: int,
     frame_length: int,
-    frame_shift: int,
-    n_frames: int,
-    preemphasis: float = 0.97,
+    preemphasis: float,
 ):
-    """Trace-time fbank body: usable inside other jitted programs (e.g.
-    fused into an encoder forward so features never round-trip the host)."""
+    """Shared per-frame tail: DC removal, preemphasis, povey window, power
+    spectrum, mel projection (an MXU matmul over frames), log floor."""
     padded = int(2 ** np.ceil(np.log2(frame_length)))  # round_to_power_of_two
-
-    # frame extraction (snip_edges)
-    starts = jnp.arange(n_frames) * frame_shift
-    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
-    frames = waveform[idx]  # (n_frames, frame_length)
 
     # remove DC offset per frame
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
@@ -108,6 +101,48 @@ def fbank_device(
         precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.log(jnp.maximum(mel, EPSILON))
+
+
+def fbank_device(
+    waveform: jax.Array,
+    sample_rate: int,
+    num_mel_bins: int,
+    frame_length: int,
+    frame_shift: int,
+    n_frames: int,
+    preemphasis: float = 0.97,
+):
+    """Trace-time fbank body: usable inside other jitted programs (e.g.
+    fused into an encoder forward so features never round-trip the host)."""
+    # frame extraction (snip_edges)
+    starts = jnp.arange(n_frames) * frame_shift
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    frames = waveform[idx]  # (n_frames, frame_length)
+    return _frames_to_mel(frames, sample_rate, num_mel_bins, frame_length,
+                          preemphasis)
+
+
+def fbank_frames_device(
+    samples: jax.Array,
+    frame_starts: jax.Array,
+    sample_rate: int,
+    num_mel_bins: int,
+    frame_length: int,
+    preemphasis: float = 0.97,
+):
+    """fbank over explicitly addressed frames of one flat sample buffer.
+
+    The TPU-shaped batched entry: fbank is frame-parallel, so MANY
+    segments' features are one program over the concatenation of their
+    waveforms plus a per-frame start-offset vector — segment boundaries
+    live entirely in ``frame_starts`` (snip_edges guarantees a segment's
+    frames never read past its own samples). Program shapes depend only on
+    the two padded totals, not on how many segments they cover.
+    """
+    idx = frame_starts[:, None] + jnp.arange(frame_length)[None, :]
+    frames = samples[idx]  # (n_frames, frame_length)
+    return _frames_to_mel(frames, sample_rate, num_mel_bins, frame_length,
+                          preemphasis)
 
 
 _fbank_impl = partial(jax.jit, static_argnames=(
@@ -168,3 +203,88 @@ def _host_cpu():
 
 
 _host_cpu_dev = None
+
+
+_fbank_frames_impl = partial(jax.jit, static_argnames=(
+    "sample_rate", "num_mel_bins", "frame_length"
+))(fbank_frames_device)
+
+
+def _pow2_at_least(n: int, floor: int) -> int:
+    return max(floor, 1 << (n - 1).bit_length())
+
+
+def fbank_batch(
+    waveforms,
+    sample_rate: int = 16000,
+    num_mel_bins: int = 80,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    on_host: bool = False,
+):
+    """Fbanks for MANY waveforms in one device program.
+
+    The per-segment :func:`fbank` entry is host-pinned because its callers
+    historically made thousands of tiny calls (a ~25 ms tunnel roundtrip
+    each). This entry restores the device path by batching: the waveforms
+    are concatenated into one flat sample buffer, every frame of every
+    segment becomes a row of a start-offset vector, and ONE program
+    computes all features. Both totals are padded to powers of two, so the
+    number of compiled shapes is logarithmic in corpus size and
+    independent of the segment count/length mix. ``on_host=True`` runs the
+    same batched program on the CPU backend (the crossover fallback).
+
+    Returns a list of (n_frames_i, num_mel_bins) float32 arrays.
+    """
+    frame_length = int(frame_length_ms * sample_rate / 1000)
+    frame_shift = int(frame_shift_ms * sample_rate / 1000)
+
+    flat_parts = []
+    starts_parts = []
+    counts = []
+    offset = 0
+    for w in waveforms:
+        w = np.asarray(w, dtype=np.float32)
+        if w.ndim == 2:
+            w = w[0]
+        n = w.shape[0]
+        nf = 0 if n < frame_length else 1 + (n - frame_length) // frame_shift
+        counts.append(nf)
+        if nf == 0:
+            continue
+        flat_parts.append(w)
+        starts_parts.append(offset + np.arange(nf, dtype=np.int32) * frame_shift)
+        offset += n
+
+    if offset == 0:
+        return [np.zeros((0, num_mel_bins), np.float32) for _ in counts]
+
+    samples = np.concatenate(flat_parts)
+    starts = np.concatenate(starts_parts)
+    total_frames = starts.shape[0]
+
+    s_pad = _pow2_at_least(samples.shape[0], 1 << 14)
+    f_pad = _pow2_at_least(total_frames, 1 << 7)
+    samples = np.pad(samples, (0, s_pad - samples.shape[0]))
+    # padded frame rows read from offset 0 and are sliced off below
+    starts = np.pad(starts, (0, f_pad - total_frames))
+
+    def run():
+        out = _fbank_frames_impl(
+            jnp.asarray(samples), jnp.asarray(starts), sample_rate,
+            num_mel_bins, frame_length,
+        )
+        return np.asarray(out)[:total_frames]
+
+    if on_host:
+        with jax.default_device(_host_cpu()):
+            feats = run()
+    else:
+        feats = run()
+
+    res = []
+    row = 0
+    for nf in counts:
+        res.append(feats[row:row + nf])
+        row += nf
+    return res

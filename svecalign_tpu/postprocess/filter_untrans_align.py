@@ -23,7 +23,12 @@ import argparse
 from pathlib import Path
 from typing import List, Optional, Tuple
 
-from svecalign_tpu.utils.audio_utils import SAMPLE_RATE, Segment, compute_fbank_dist
+from svecalign_tpu.utils.audio_utils import (
+    SAMPLE_RATE,
+    Segment,
+    batch_segment_fbanks,
+    compute_fbank_dist,
+)
 from svecalign_tpu.utils.file_utils import (
     alignments_to_timestamps,
     delete_if_exist,
@@ -64,18 +69,6 @@ def parse_args():
     return parser.parse_args()
 
 
-def spans_are_identical(
-    src_span: Segment,
-    tgt_span: Segment,
-    max_frame_diff: int,
-    fbank_dist_thres: float,
-) -> bool:
-    """Duration gate first (cheap), fbank MSE second (decodes audio)."""
-    if abs(src_span.duration - tgt_span.duration) > max_frame_diff:
-        return False
-    return compute_fbank_dist(src_span.fbank(), tgt_span.fbank()) <= fbank_dist_thres
-
-
 def filter_one_pair(
     align_path,
     src_segs: List[Tuple[int, int]],
@@ -99,19 +92,36 @@ def filter_one_pair(
     )
     assert n == len(alignments)
 
-    survivors: List[int] = []
-    n_dupes = 0
-    for row, ((s0, s1), (t0, t1)) in enumerate(zip(src_times, tgt_times)):
-        src_span = Segment(start=s0, end=s1, path=src_audio_path)
-        tgt_span = Segment(start=t0, end=t1, path=tgt_audio_path)
-        if not spans_are_identical(src_span, tgt_span, max_frame_diff, fbank_dist_thres):
-            survivors.append(row)
-            continue
-        n_dupes += 1
-        if audio_out_dir:
-            audio_out_dir.mkdir(parents=True, exist_ok=True)
-            src_span.save((audio_out_dir / f"{row}.src.ogg").as_posix())
-            tgt_span.save((audio_out_dir / f"{row}.tgt.ogg").as_posix())
+    spans = [
+        (Segment(start=s0, end=s1, path=src_audio_path),
+         Segment(start=t0, end=t1, path=tgt_audio_path))
+        for (s0, s1), (t0, t1) in zip(src_times, tgt_times)
+    ]
+    # phase 1, duration gate (no audio decode): rows wider apart than the
+    # gate cannot be identical and survive immediately
+    suspects = [
+        row for row, (s, t) in enumerate(spans)
+        if abs(s.duration - t.duration) <= max_frame_diff
+    ]
+    # phase 2: fbanks for ALL suspect rows of this pair in one batched
+    # device call, sliding-MSE verdicts on host
+    fbanks = batch_segment_fbanks(
+        [spans[r][0] for r in suspects] + [spans[r][1] for r in suspects]
+    )
+    identical = {
+        row
+        for pos, row in enumerate(suspects)
+        if compute_fbank_dist(fbanks[pos], fbanks[len(suspects) + pos])
+        <= fbank_dist_thres
+    }
+
+    survivors: List[int] = [row for row in range(n) if row not in identical]
+    n_dupes = len(identical)
+    if audio_out_dir and identical:
+        audio_out_dir.mkdir(parents=True, exist_ok=True)
+        for row in sorted(identical):
+            spans[row][0].save((audio_out_dir / f"{row}.src.ogg").as_posix())
+            spans[row][1].save((audio_out_dir / f"{row}.tgt.ogg").as_posix())
 
     if not survivors:
         logger.info(f"{align_path} is completely filtered out.")

@@ -143,6 +143,27 @@ class Segment:
         save_waveform(waveform=self.waveform, target=path)
 
 
+def batch_segment_fbanks(segments: List["Segment"]) -> List[np.ndarray]:
+    """Fbanks for many segments in ONE device program (ops/fbank.py
+    fbank_batch). With ``SVECALIGN_FBANK_BATCH=0`` falls back to the
+    per-segment host-pinned path (one ~25 ms tunnel roundtrip per call on
+    axon — the behavior this batching exists to avoid)."""
+    import os
+
+    if os.environ.get("SVECALIGN_FBANK_BATCH", "1") == "0":
+        return [seg.fbank() for seg in segments]
+
+    from svecalign_tpu.ops.fbank import fbank_batch
+
+    waves = []
+    for seg in segments:
+        w = seg.waveform
+        if w.ndim == 2:
+            w = w[:, 0]
+        waves.append(w)
+    return fbank_batch(waves, sample_rate=SAMPLE_RATE)
+
+
 def find_untranslated_segs(
     segments_1: List[Tuple[int, int]],
     segments_2: List[Tuple[int, int]],
@@ -152,7 +173,13 @@ def find_untranslated_segs(
     fbank_dist_thres: float,
 ) -> List[Tuple[int, int]]:
     """Find identical (untranslated) segments between the two sides.
-    Returns (src_idx, tgt_idx) pairs. (reference audio_utils.py:38-94)."""
+    Returns (src_idx, tgt_idx) pairs. (reference audio_utils.py:38-94).
+
+    Two phases: the cheap duration gate pairs each source segment with its
+    midpoint-nearest target first; then the fbanks of every segment any
+    surviving candidate touches are computed in one batched device call,
+    and the sliding-MSE decisions run on host.
+    """
     if len(segments_1) == 0 or len(segments_2) == 0:
         return []
 
@@ -162,15 +189,25 @@ def find_untranslated_segs(
     segs_2_mids = np.array([seg.mid for seg in segs_2], dtype=float)
     assert np.all(segs_2_mids[:-1] < segs_2_mids[1:]), segs_2_mids
 
-    res = []
+    candidates = []
     for i, src_seg in enumerate(segs_1):
         closest_tgt_id = binary_search(segs_2_mids, src_seg.mid)
-        tgt_seg = segs_2[closest_tgt_id]
+        if abs(src_seg.duration - segs_2[closest_tgt_id].duration) <= max_frame_diff:
+            candidates.append((i, closest_tgt_id))
+    if not candidates:
+        return []
 
-        if abs(src_seg.duration - tgt_seg.duration) > max_frame_diff:
-            continue
-        fbank_dist = compute_fbank_dist(src_seg.fbank(), tgt_seg.fbank())
-        if fbank_dist > fbank_dist_thres:
-            continue
-        res.append((i, closest_tgt_id))
-    return res
+    # unique segments only: a popular target is decoded/featurized once
+    need_1 = sorted({i for i, _ in candidates})
+    need_2 = sorted({j for _, j in candidates})
+    fbanks = batch_segment_fbanks(
+        [segs_1[i] for i in need_1] + [segs_2[j] for j in need_2]
+    )
+    fb_1 = dict(zip(need_1, fbanks[: len(need_1)]))
+    fb_2 = dict(zip(need_2, fbanks[len(need_1):]))
+
+    return [
+        (i, j)
+        for i, j in candidates
+        if compute_fbank_dist(fb_1[i], fb_2[j]) <= fbank_dist_thres
+    ]

@@ -121,3 +121,36 @@ def test_energy_vad_close_to_silero_on_real_audio(example_dir):
         if any(abs(g["start"] - s) <= tol and abs(g["end"] - e) <= tol for g in got):
             matched += 1
     assert matched / len(want) >= 0.5, f"only {matched}/{len(want)} segments matched"
+
+
+def test_fbank_batch_matches_per_segment():
+    """ops.fbank.fbank_batch must equal the host-pinned per-segment entry
+    exactly (same backend), including empty and single-frame waveforms."""
+    import numpy as np
+
+    from svecalign_tpu.ops.fbank import fbank, fbank_batch
+
+    rng = np.random.default_rng(7)
+    waves = [rng.standard_normal(n).astype(np.float32) * 0.2
+             for n in (399, 400, 16000, 52341, 7)]
+    batched = fbank_batch(waves)
+    hosted = fbank_batch(waves, on_host=True)
+    for w, b, h in zip(waves, batched, hosted):
+        single = fbank(w)
+        np.testing.assert_array_equal(b, single)
+        np.testing.assert_array_equal(h, single)
+
+
+def test_batch_segment_fbanks_kill_switch(example_dir, monkeypatch):
+    """SVECALIGN_FBANK_BATCH=0 must reproduce the per-segment path."""
+    import numpy as np
+
+    from svecalign_tpu.utils.audio_utils import Segment, batch_segment_fbanks
+
+    ogg = example_dir / "raw_audios/en/20180313-0900-PLENARY-15_en.ogg"
+    segs = [Segment(16000 * i, 16000 * (i + 1) + 321 * i, ogg) for i in range(3)]
+    batched = batch_segment_fbanks(segs)
+    monkeypatch.setenv("SVECALIGN_FBANK_BATCH", "0")
+    looped = batch_segment_fbanks(segs)
+    for b, l in zip(batched, looped):
+        np.testing.assert_array_equal(b, l)
