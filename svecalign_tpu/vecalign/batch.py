@@ -441,6 +441,24 @@ def _build_doc_tensors(emb: jax.Array, ids: jax.Array) -> jax.Array:
     return costs_ops.make_norm1(vecs)
 
 
+def _build_doc_tensors_flat(flat_rows: jax.Array, gids: jax.Array) -> jax.Array:
+    """(R, d) fp16 document bank + (P, n_overlaps, n) GLOBAL row ids
+    (-1 = zero row) -> (P, n_overlaps, n, d) fp32 normalized overlap
+    tensors.
+
+    Gather-first: rows are picked in fp16 and only the gathered
+    (P, o, n, d) block is cast to fp32 — casting a per-pair-stacked cache
+    (the previous build) materialized a fp32 copy of EVERY pair's whole
+    row buffer, the allocation behind the fused pair_batch-128 OOM. NaN
+    rows zero after the gather (fp16 NaN survives both the gather and the
+    cast), bit-identical to cache-side zeroing."""
+    gathered = jnp.take(flat_rows, jnp.maximum(gids, 0), axis=0)
+    g = gathered.astype(jnp.float32)
+    g = jnp.where(jnp.any(jnp.isnan(g), axis=-1, keepdims=True), 0.0, g)
+    vecs = jnp.where((gids >= 0)[:, :, :, None], g, 0.0)
+    return costs_ops.make_norm1(vecs)
+
+
 upload_stats = {"bytes": 0, "buckets": 0, "level_bytes": 0}
 """Cumulative host->device staging bytes — the tunnel-limited resource.
 ``bytes`` = bucket staging (embeddings/ids/scales); ``level_bytes`` = the
@@ -545,18 +563,53 @@ def stage_rows_device(
     produced by the embed stage (utils/embed_cache.py). Only the id maps
     (a few KB) cross the tunnel; the embeddings never leave the device.
 
-    Because every cached entry shares one global row count, the stack +
-    gather program compiles once per (P, n_overlaps, n_pad) — not per
-    document."""
+    The pairs' documents are deduplicated into ONE (U, max_rows, d) fp16
+    bank (a document aligning against many counterparts is stored once,
+    not once per pair) and the id maps are rebased to global bank rows;
+    the overlap tensors gather straight from the flat bank in fp16
+    (_build_doc_tensors_flat). The old per-side (P, max_rows, d) stacks —
+    fp32-cast in full before the gather — were the fused pair_batch-128
+    OOM (2 sides x 128 x 4096 x 1024 x (2 + 4 + 4) bytes > HBM). U pads to
+    a power of two with zero slots so compiled shapes stay logarithmic;
+    programs key on (P, U_pad, n_overlaps, n_pad) — not on documents."""
     put = _pair_put(sharding)
     ids0, ids1, sizes0, sizes1 = _pad_id_maps(pairs)
-    stack0, stack1 = jnp.stack([p[0] for p in pairs]), jnp.stack([p[2] for p in pairs])
+
+    slot_of = {}
+    unique = []
+    for p in pairs:
+        for rows_dev in (p[0], p[2]):
+            if id(rows_dev) not in slot_of:
+                slot_of[id(rows_dev)] = len(unique)
+                unique.append(rows_dev)
+    rows = unique[0].shape[0]
+    assert all(u.shape == unique[0].shape for u in unique), \
+        "embed_cache entries must share one (max_rows, dim) shape"
+    u_pad = 1 << (len(unique) - 1).bit_length()
+    if u_pad > len(unique):
+        zero_slot = jnp.zeros_like(unique[0])
+        unique = unique + [zero_slot] * (u_pad - len(unique))
+    bank = jnp.stack(unique).reshape(u_pad * rows, -1)
     if sharding is not None:
-        # cached rows live on the embed stage's device; respread over the mesh
-        stack0, stack1 = jax.device_put(stack0, sharding), jax.device_put(stack1, sharding)
-    v0 = _build_doc_tensors(stack0, put(ids0))
-    v1 = _build_doc_tensors(stack1, put(ids1))
-    upload_stats["bytes"] += ids0.nbytes + ids1.nbytes
+        # every device needs every document's rows: replicate the bank
+        # over the mesh; the id maps (and thus v0/v1) stay pair-sharded
+        bank = jax.device_put(
+            bank,
+            jax.sharding.NamedSharding(
+                sharding.mesh, jax.sharding.PartitionSpec()
+            ),
+        )
+
+    slot0 = np.array([slot_of[id(p[0])] for p in pairs], np.int32)
+    slot1 = np.array([slot_of[id(p[2])] for p in pairs], np.int32)
+    gids0 = np.where(ids0 >= 0, ids0 + slot0[:, None, None] * rows, -1)
+    gids1 = np.where(ids1 >= 0, ids1 + slot1[:, None, None] * rows, -1)
+
+    v0 = _build_doc_tensors_flat(bank, put(gids0))
+    v1 = _build_doc_tensors_flat(bank, put(gids1))
+    if sharding is not None:
+        v0, v1 = jax.device_put(v0, sharding), jax.device_put(v1, sharding)
+    upload_stats["bytes"] += gids0.nbytes + gids1.nbytes
     upload_stats["buckets"] += 1
     return (v0, v1, sizes0, sizes1)
 

@@ -375,3 +375,45 @@ def test_fused_staging_beyond_default_row_cap():
     (a_up, s_up), (a_dev, s_dev) = res_up[0], res_dev[0]
     assert a_up == a_dev
     np.testing.assert_array_equal(np.asarray(s_up), np.asarray(s_dev))
+
+
+def test_stage_rows_device_dedup_and_sharded():
+    """The unique-document bank: pairs sharing a device rows array must
+    stage through ONE bank slot (plus zero-slot padding to a power of
+    two), and the mesh-sharded staging must match the unsharded result
+    exactly — including a pair count that shares documents across pairs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from svecalign_tpu.vecalign import batch as B
+
+    rng = np.random.default_rng(9)
+    R_MAX, d, n_over = 32, 16, 2
+    kwargs = dict(
+        final_alignment_types=[(1, 1), (0, 1), (1, 0)],
+        del_percentile_frac=0.2, width_over2=4, max_size_full_dp=8,
+        costs_sample_size=50, num_samps_for_norm=10,
+    )
+
+    def make_doc(n):
+        e = np.zeros((R_MAX, d), np.float16)
+        e[: n * 2] = rng.standard_normal((n * 2, d)).astype(np.float16)
+        ids = rng.integers(0, n * 2, size=(n_over, n)).astype(np.int32)
+        return jnp.asarray(e), ids
+
+    # 8 pairs from only 3 distinct documents (docA reused on both sides)
+    docA, idsA = make_doc(12)
+    docB, idsB = make_doc(10)
+    docC, idsC = make_doc(12)
+    pairs = [(docA, idsA, docB, idsB), (docA, idsA, docC, idsC[:, :10])] * 4
+
+    base = B.run_staged(B.stage_rows_device(pairs), **kwargs)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("pairs",))
+    shd = NamedSharding(mesh, P("pairs"))
+    sharded = B.run_staged(B.stage_rows_device(pairs, sharding=shd), **kwargs)
+
+    for (a0, s0), (a1, s1) in zip(base, sharded):
+        assert a0 == a1
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
