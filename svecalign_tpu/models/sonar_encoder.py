@@ -185,6 +185,7 @@ class SonarSpeechModel(SpanEncoderMixin):
         batch_size: int = 16,
         seed: int = 0,
         upload_dtype: str = "int16",
+        mesh=None,
     ):
         self.config = config
         self.model = SonarSpeechEncoder(config)
@@ -244,14 +245,6 @@ class SonarSpeechModel(SpanEncoderMixin):
                 "SONAR encoder initialized with RANDOM weights; "
                 "embeddings are not meaningful for mining."
             )
-        self.params = jax.device_put(self.params)
-
-        from functools import partial as _partial
-
-        # wav/scales/lengths are single-use per chunk: donation folds their
-        # release into the execution (see SpeechLaserModel.__init__)
-        @_partial(jax.jit, static_argnames=("n_frames",),
-                  donate_argnums=(1, 2, 3))
         def _apply_wav(params, wav, scales, lengths, n_frames):
             # int16 upload + device dequant (fp32 inputs pass through with
             # scale 1.0); fbank + normalization + stacking fused into the
@@ -262,7 +255,42 @@ class SonarSpeechModel(SpanEncoderMixin):
             )
             return self.model.apply(params, feats, mask2)
 
-        self._forward = _apply_wav
+        # data-parallel inference, mirroring SpeechLaserModel.__init__:
+        # batch rows shard over the mesh's 'data' axis, params replicate.
+        # wav/scales/lengths are single-use per chunk: donation folds their
+        # release into the execution.
+        if mesh is None and len(jax.devices()) > 1:
+            from svecalign_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        self.mesh = mesh
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(mesh, P("data"))
+            replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, replicated)
+            self._forward = jax.jit(
+                _apply_wav,
+                static_argnums=(4,),  # n_frames (kwargs break in_shardings)
+                in_shardings=(
+                    jax.tree.map(lambda _: replicated, self.params),
+                    NamedSharding(mesh, P("data", None)),
+                    data,
+                    data,
+                ),
+                out_shardings=NamedSharding(mesh, P("data", None)),
+                donate_argnums=(1, 2, 3),
+            )
+            self._dp_rows = mesh.shape["data"]
+            # chunk rows must split evenly over the data axis
+            self.batch_size = -(-self.batch_size // self._dp_rows) * self._dp_rows
+        else:
+            self.params = jax.device_put(self.params)
+            self._forward = jax.jit(
+                _apply_wav, static_argnames=("n_frames",), donate_argnums=(1, 2, 3)
+            )
+            self._dp_rows = 1
 
     def _bucket(self, n: int) -> int:
         for b in self.BUCKET_FRAMES:

@@ -61,7 +61,10 @@ def parse_args():
     parser.add_argument("--pair_batch", type=int, default=1)
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="shard the align stage's pair axis over this many "
-                             "local devices (0 = all). See seg_align.align.")
+                             "local devices (0 = all). See seg_align.align. "
+                             "(The embed stages need no flag: both encoders "
+                             "auto-shard their batch rows over all visible "
+                             "devices' 'data' mesh axis.)")
     parser.add_argument("--sharded_index", action="store_true", default=False,
                         help="score_align: shard the loaded kNN corpora (Flat "
                              "or IVF) row-wise across the device mesh.")

@@ -159,3 +159,41 @@ def test_segment_shard_union_invariance(tmp_path):
     for a, b in zip(single_files, sharded_files):
         assert a.read_text() == b.read_text(), a.name
         assert a.read_text().strip(), f"{a.name} found no speech"
+
+
+def test_dp_encode_spans_matches_single_device():
+    """Embed-stage data parallelism: encode_spans with chunk rows sharded
+    over the mesh's data axis must match the single-device path up to
+    fp32 reduction-order noise (different per-shard batch shapes compile
+    different reduction tilings, so the check is per-row cosine)."""
+    from svecalign_tpu.models.laser_encoder import SpeechLaserModel
+    from svecalign_tpu.models.sonar_encoder import SonarSpeechModel
+    from svecalign_tpu.parallel.mesh import make_mesh
+    from tests.test_models import TINY_LASER, TINY_SONAR
+
+    rng = np.random.default_rng(3)
+    wave = (0.25 * rng.standard_normal(16000 * 8)).astype(np.float32)
+    spans = [(3000 * k, 3000 * k + 14000 + 500 * (k % 3)) for k in range(16)]
+
+    def rows_close(a, b):
+        an = a / np.linalg.norm(a, axis=1, keepdims=True)
+        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+        assert (an * bn).sum(axis=1).min() >= 1 - 1e-5
+
+    kw = dict(config=TINY_LASER, max_tokens=4 * 16000, upload_dtype="fp32")
+    out = []
+    for mesh in (make_mesh(), make_mesh(n_devices=1)):
+        m = SpeechLaserModel(mesh=mesh, **kw)
+        m.BUCKETS = (16000,)
+        m.WAVE_BUCKETS_S = (10,)
+        out.append(m.encode_spans(wave, spans))
+    assert out[0].shape == (16, TINY_LASER.encoder_dim)
+    rows_close(out[0], out[1])
+
+    skw = dict(config=TINY_SONAR, batch_size=2, upload_dtype="fp32")
+    out = []
+    for mesh in (make_mesh(), make_mesh(n_devices=1)):
+        m = SonarSpeechModel(mesh=mesh, **skw)
+        m.BUCKET_FRAMES = (50, 100)
+        out.append(m.encode_spans(wave, spans))
+    rows_close(out[0], out[1])
