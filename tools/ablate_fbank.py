@@ -38,9 +38,11 @@ def main():
     waves = [rng.standard_normal(n).astype(np.float32) * 0.1 for n in lens]
     audio_s = float(lens.sum()) / 16000
 
-    # warm both paths (compiles)
-    fbank_batch(waves[:4])
-    fbank_batch(waves[:4], on_host=True)
+    # warm both paths with the FULL trial shape: a subset would compile a
+    # smaller bucket and the first timed device trial would pay the real
+    # compile (20-300 s on axon)
+    fbank_batch(waves)
+    fbank_batch(waves, on_host=True)
     fbank(waves[0])
 
     timings = {"device_batch": [], "host_batch": [], "host_loop": []}

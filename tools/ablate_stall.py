@@ -45,19 +45,27 @@ def _bump(x):
     return x + 1
 
 
-def churn(n_execs: int, mb_per_exec: int, pull: bool):
-    """n_execs executions, each allocating/freeing mb_per_exec MB."""
+def churn(n_execs: int, mb_per_exec: int, pull: bool, burst: bool = False):
+    """n_execs executions, each allocating/freeing mb_per_exec MB.
+
+    ``burst``: hold every output alive and drop them ALL at once at the
+    end — the encode loop's actual free pattern (``pending`` keeps each
+    chunk's embedding until the deferred pulls finish, then the whole
+    list dies together right when the next file's host phase starts)."""
     n = mb_per_exec * 1024 * 1024 // 2  # int16 elements
     base = jnp.zeros(max(n, 1), jnp.int16)
+    kept = []
     out = None
     for _ in range(n_execs):
         out = _bump(base)  # new buffer each call; prior one freed
+        if burst:
+            kept.append(out)
         if pull:
             np.asarray(out[:1])
     # sync everything, then drop refs
     if out is not None:
         out.block_until_ready()
-    del out, base
+    del out, base, kept
 
 
 def main():
@@ -65,14 +73,18 @@ def main():
     churn(4, 1, False)
     probe("warmup")
 
-    for label, execs, mb, pull in [
-        ("128 execs x 16 MB (2 GB churn, no pulls)", 128, 16, False),
-        ("128 execs x 1 MB (128 MB churn, no pulls)", 128, 1, False),
-        ("16 execs x 128 MB (2 GB churn, no pulls)", 16, 128, False),
-        ("128 execs x 16 MB + per-exec 4 B pulls", 128, 16, True),
+    for label, execs, mb, pull, burst in [
+        ("128 execs x 16 MB (2 GB churn, incremental frees)", 128, 16, False, False),
+        ("128 execs x 1 MB (128 MB churn, incremental frees)", 128, 1, False, False),
+        ("16 execs x 128 MB (2 GB churn, incremental frees)", 16, 128, False, False),
+        ("128 execs x 16 MB + per-exec 4 B pulls", 128, 16, True, False),
+        # the encode loop's real shape: everything freed in one burst
+        # right before the next file's host phase
+        ("128 execs x 16 MB BURST-freed (2 GB at once)", 128, 16, False, True),
+        ("128 execs x 1 MB BURST-freed (128 MB at once)", 128, 1, False, True),
     ]:
         t0 = time.perf_counter()
-        churn(execs, mb, pull)
+        churn(execs, mb, pull, burst)
         print(f"{label}: churn wall {time.perf_counter() - t0:.2f} s",
               flush=True)
         probe(label)
@@ -80,6 +92,18 @@ def main():
         probe(label + " (+1 s later)")
         time.sleep(5)
         probe(label + " (+6 s later)")
+
+    # D2H-bytes case: one big pull (an hour-file's deferred embedding pulls
+    # are ~50-100 MB fp32) — is the stall proportional to PULLED bytes?
+    big = _bump(jnp.zeros(64 * 1024 * 1024 // 2, jnp.int16))
+    big.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(big)
+    print(f"64 MB pull: {time.perf_counter() - t0:.2f} s", flush=True)
+    del big
+    probe("64 MB pull")
+    time.sleep(5)
+    probe("64 MB pull (+5 s later)")
 
 
 if __name__ == "__main__":

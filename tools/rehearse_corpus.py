@@ -97,6 +97,13 @@ def main():
                     choices=["speech_laser", "sonar"])
     ap.add_argument("--skip_synth", action="store_true",
                     help="reuse audio already under --out")
+    ap.add_argument("--data_parallel", type=int, default=1,
+                    help="forwarded to the pipeline (align-stage pair-axis "
+                    "sharding; the embed stages auto-shard over all visible "
+                    "devices regardless)")
+    ap.add_argument("--sharded_index", action="store_true",
+                    help="forwarded to the pipeline (score_align shards the "
+                    "kNN corpora over the device mesh)")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -123,6 +130,10 @@ def main():
         # sustained stage throughput, not mining quality
         "--max_cost", "1000",
     ]
+    if args.data_parallel != 1:
+        argv += ["--data_parallel", str(args.data_parallel)]
+    if args.sharded_index:
+        argv += ["--sharded_index"]
     old_argv = sys.argv
     sys.argv = argv
     t0 = time.perf_counter()
