@@ -8,7 +8,6 @@ costs tens of seconds, and random weights don't need device RNG anyway.
 from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -36,7 +35,13 @@ def numpy_init(model, example_args: Tuple, seed: int = 0):
     flat = flatten_dict(shapes["params"])
     out = {}
     for path, leaf in flat.items():
-        out[path] = jnp.asarray(numpy_init_leaf(path, leaf, rng))
+        # HOST arrays, deliberately: the callers' final device_put decides
+        # placement. A committed device-0 tree fed to
+        # device_put(..., replicated-over-mesh) becomes a device->devices
+        # collective transfer — which deadlocks XLA:CPU's 40 s rendezvous
+        # for multi-GB trees on a 1-core host (and wastes a hop on real
+        # chips); a host tree is plain per-device H2D.
+        out[path] = numpy_init_leaf(path, leaf, rng)
     return {"params": unflatten_dict(out)}
 
 
@@ -45,7 +50,10 @@ def load_params_npz(path: str):
     from flax.traverse_util import unflatten_dict
 
     data = np.load(path)
-    flat = {tuple(k.split("/")): jnp.asarray(v) for k, v in data.items()}
+    # host arrays: see numpy_init — placement is the caller's device_put's
+    # job, and pre-committing to device 0 turns a replicated put into a
+    # collective transfer
+    flat = {tuple(k.split("/")): np.asarray(v) for k, v in data.items()}
     return {"params": unflatten_dict(flat)}
 
 
