@@ -70,10 +70,30 @@ def _scatter_rows_fp16(dev: jax.Array, emb: jax.Array, idx: jax.Array) -> jax.Ar
     return dev.at[idx].set(emb.astype(jnp.float16), mode="drop")
 
 
+@jax.jit
+def _cast_fp16(emb: jax.Array) -> jax.Array:
+    """fp32 -> fp16 on device, so the host pull moves half the bytes.
+
+    The .embed file is fp16 by default, so the fp32 pull + host astype was
+    2x wasted D2H traffic — and on the tunneled single-core host the
+    post-pull CPU degradation is BYTES-proportional and outlives the pull
+    by 15+ s (tools/ablate_stall.py, 2026-08-18: a 64 MB pull took 3.8 s
+    and left host numpy 40-80x slow; 32 MB cut both roughly in half).
+    XLA's convert and numpy's astype both round to nearest-even, so the
+    written file is unchanged."""
+    return emb.astype(jnp.float16)
+
+
 class SpanEncoderMixin:
     """encode_spans() for models exposing the hook set described above."""
 
-    def encode_spans(self, waveform, spans, keep_device: bool = False):
+    def encode_spans(
+        self,
+        waveform,
+        spans,
+        keep_device: bool = False,
+        fp16_pull: bool = False,
+    ):
         """Encode (start, end) sample spans of ONE waveform -> (N, dim).
 
         Equivalent to ``encode([waveform[s:e] for s, e in spans])`` with
@@ -82,6 +102,10 @@ class SpanEncoderMixin:
         measured rationale). fp32 upload mode is bit-exact with host
         slicing; int16 differs by ~one quantization step. Waveforms longer
         than the largest wave bucket fall back to host-sliced encode().
+
+        ``fp16_pull``: cast each chunk's embeddings to fp16 ON DEVICE and
+        return a float16 array — half the D2H bytes, same bits as the
+        default fp16 .embed file (see ``_cast_fp16``).
         """
         from svecalign_tpu.ops import assemble
 
@@ -102,7 +126,9 @@ class SpanEncoderMixin:
                 "falling back to host-sliced encode()"
             )
             return self.encode(
-                [waveform[s:e] for s, e in spans], keep_device=keep_device
+                [waveform[s:e] for s, e in spans],
+                keep_device=keep_device,
+                fp16_pull=fp16_pull,
             )
 
         fp32 = self.upload_dtype == "fp32"
@@ -118,7 +144,10 @@ class SpanEncoderMixin:
             encode_profile["wave_quant_s"] = t0p - t0q
             encode_profile["wave_put_s"] = time.perf_counter() - t0p
 
-        out = np.zeros((len(spans), self._embed_dim), dtype=np.float32)
+        out = np.zeros(
+            (len(spans), self._embed_dim),
+            dtype=np.float16 if fp16_pull else np.float32,
+        )
         dev = None
         if keep_device:
             from svecalign_tpu.utils import embed_cache
@@ -182,6 +211,8 @@ class SpanEncoderMixin:
                 )
                 rows_q, row_scales, lengths = asm(wave_dev, idx_dev)
                 emb = self._span_forward(rows_q, row_scales, lengths, bucket)
+                if fp16_pull:
+                    emb = _cast_fp16(emb)
                 if prof is not None:
                     prof["forward_dispatch_s"] += t() - t0
                 if dev is not None:
@@ -195,7 +226,7 @@ class SpanEncoderMixin:
 
         t0 = t()
         for chunk, emb in pending:
-            emb = np.asarray(emb, dtype=np.float32)
+            emb = np.asarray(emb, dtype=out.dtype)
             for row, (i, _) in enumerate(chunk):
                 out[i] = emb[row]
         if prof is not None:

@@ -389,8 +389,12 @@ class SpeechLaserModel(SpanEncoderMixin):
         dp = getattr(self, "_dp_rows", 1)
         return -(-rows // dp) * dp
 
-    def encode(self, waveforms, keep_device: bool = False):
-        """Encode a list of 1-D float32 waveforms -> (N, dim) float32.
+    def encode(self, waveforms, keep_device: bool = False,
+               fp16_pull: bool = False):
+        """Encode a list of 1-D float32 waveforms -> (N, dim) float32
+        (float16 under ``fp16_pull`` — device-cast, half the D2H bytes,
+        bit-equal to the host fp32->fp16 cast the .embed writer does; see
+        encode_common._cast_fp16 for the measured stall rationale).
 
         Buckets by length and pads every batch to a FIXED (rows, bucket)
         shape per bucket, so XLA compiles exactly one program per bucket
@@ -403,7 +407,10 @@ class SpeechLaserModel(SpanEncoderMixin):
         scatter is a fixed-shape device op per bucket (no per-document
         compile); returns ``(out, None)`` if N exceeds the cache row cap.
         """
-        out = np.zeros((len(waveforms), self.config.encoder_dim), dtype=np.float32)
+        out = np.zeros(
+            (len(waveforms), self.config.encoder_dim),
+            dtype=np.float16 if fp16_pull else np.float32,
+        )
         dev = None
         if keep_device:
             from svecalign_tpu.utils import embed_cache
@@ -480,6 +487,8 @@ class SpeechLaserModel(SpanEncoderMixin):
                     fut = ex.submit(stage, chunks[ci + 1])
                 t0 = t()
                 emb = self._forward(self.params, padded, scales, lengths)
+                if fp16_pull:
+                    emb = encode_common._cast_fp16(emb)
                 if prof is not None:
                     prof["forward_dispatch_s"] += t() - t0
                 if dev is not None:
@@ -494,7 +503,7 @@ class SpeechLaserModel(SpanEncoderMixin):
 
         t0 = t()
         for chunk, emb in pending:
-            emb = np.asarray(emb, dtype=np.float32)
+            emb = np.asarray(emb, dtype=out.dtype)
             for row, (i, _) in enumerate(chunk):
                 out[i] = emb[row]
         if prof is not None:

@@ -34,7 +34,11 @@ import numpy as np
 from svecalign_tpu.utils.jax_setup import setup_jax
 
 setup_jax()
-from svecalign_tpu.models.encode_common import SpanEncoderMixin, _scatter_rows_fp16
+from svecalign_tpu.models.encode_common import (
+    SpanEncoderMixin,
+    _cast_fp16,
+    _scatter_rows_fp16,
+)
 from svecalign_tpu.models.w2v_bert import W2vBertConfig, W2vBertModel
 from svecalign_tpu.utils.log_utils import logging
 
@@ -327,15 +331,21 @@ class SonarSpeechModel(SpanEncoderMixin):
     def _trunc_unit(self) -> str:
         return f"{self.BUCKET_FRAMES[-1]} x 10 ms"
 
-    def encode(self, waveforms, keep_device: bool = False):
-        """Encode waveforms -> (N, pool_dim) float32.
+    def encode(self, waveforms, keep_device: bool = False,
+               fp16_pull: bool = False):
+        """Encode waveforms -> (N, pool_dim) float32 (float16 under
+        ``fp16_pull`` — device-cast, half the D2H bytes, bit-equal to the
+        writer's host fp32->fp16 cast; encode_common._cast_fp16).
 
         ``keep_device`` mirrors SpeechLaserModel.encode: additionally
         scatter each batch's output (fp16, the .embed file's dtype) into
         one (embed_cache.max_rows, dim) device buffer and return
         ``(out, device_rows)`` — the fused pipeline handoff
         (utils/embed_cache.py). ``(out, None)`` if N exceeds the cap."""
-        out = np.zeros((len(waveforms), self.config.pool_dim), dtype=np.float32)
+        out = np.zeros(
+            (len(waveforms), self.config.pool_dim),
+            dtype=np.float16 if fp16_pull else np.float32,
+        )
         dev = None
         if keep_device:
             from svecalign_tpu.utils import embed_cache
@@ -403,6 +413,8 @@ class SonarSpeechModel(SpanEncoderMixin):
                 if ci + 1 < len(chunks):
                     fut = ex.submit(stage, chunks[ci + 1])
                 emb = self._forward(self.params, padded, scales, lengths, bucket)
+                if fp16_pull:
+                    emb = _cast_fp16(emb)
                 if dev is not None:
                     # out-of-range target rows (padding) drop on device
                     idx = np.full((self.batch_size,), np.iinfo(np.int32).max, np.int32)
@@ -411,7 +423,7 @@ class SonarSpeechModel(SpanEncoderMixin):
                 pending.append((chunk, emb))
 
         for chunk, emb in pending:
-            emb = np.asarray(emb, dtype=np.float32)
+            emb = np.asarray(emb, dtype=out.dtype)
             for row, (i, *_) in enumerate(chunk):
                 out[i] = emb[row]
         return (out, dev) if keep_device else out

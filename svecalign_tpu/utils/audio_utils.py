@@ -145,12 +145,24 @@ class Segment:
 
 def batch_segment_fbanks(segments: List["Segment"]) -> List[np.ndarray]:
     """Fbanks for many segments in ONE device program (ops/fbank.py
-    fbank_batch). With ``SVECALIGN_FBANK_BATCH=0`` falls back to the
-    per-segment host-pinned path (one ~25 ms tunnel roundtrip per call on
-    axon — the behavior this batching exists to avoid)."""
+    fbank_batch), or the per-segment host-pinned loop — whichever fits the
+    hardware. Measured crossover (tools/ablate_fbank.py, 2026-08-18, 400
+    segs / 2198 s audio, tunneled v5e): device batch 11.7 s vs host loop
+    0.9 s — the tunnel's ~45 MB/s collapsed transfer mode plus the
+    bytes-proportional post-pull host stall eat the device win, so on the
+    tunneled ``axon`` backend the host loop is 13x faster. On a
+    locally-attached device the batched path is the right default.
+
+    ``SVECALIGN_FBANK_BATCH``: ``0`` forces the host loop, ``1`` forces the
+    device batch, unset/``auto`` picks by backend (host loop on axon)."""
     import os
 
-    if os.environ.get("SVECALIGN_FBANK_BATCH", "1") == "0":
+    mode = os.environ.get("SVECALIGN_FBANK_BATCH", "auto")
+    if mode == "auto":
+        import jax
+
+        mode = "0" if jax.default_backend() == "axon" else "1"
+    if mode == "0":
         return [seg.fbank() for seg in segments]
 
     from svecalign_tpu.ops.fbank import fbank_batch

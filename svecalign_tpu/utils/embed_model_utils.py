@@ -182,18 +182,21 @@ def embed_segments_to_file(
         waveform = load_waveform(wave_path, sr=SAMPLE_RATE)
         if fused:
             emb, dev = embed_model.encode_spans(
-                waveform, segments, keep_device=True
+                waveform, segments, keep_device=True, fp16_pull=fp16
             )
             embed_cache.put(cache_key, emb.shape[0], dev)
         else:
-            emb = embed_model.encode_spans(waveform, segments)
+            emb = embed_model.encode_spans(waveform, segments, fp16_pull=fp16)
     elif fused:
         emb, dev = embed_model.encode(
-            slice_segments(wave_path, segments), keep_device=True
+            slice_segments(wave_path, segments), keep_device=True,
+            fp16_pull=fp16,
         )
         embed_cache.put(cache_key, emb.shape[0], dev)
     else:
-        emb = embed_model.encode(slice_segments(wave_path, segments))
+        emb = embed_model.encode(
+            slice_segments(wave_path, segments), fp16_pull=fp16
+        )
     if embed_model_type == "speech_laser":
         write_stopes_embedding(emb, out_path, fp16=fp16)
     else:

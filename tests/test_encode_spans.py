@@ -187,3 +187,33 @@ def test_embed_segments_to_file_device_vs_host_sonar(tmp_path):
     b = np.fromfile(out_dev, dtype=np.float16)
     assert a.size == len(segments) * m.config.pool_dim
     np.testing.assert_array_equal(a, b)
+
+
+def test_fp16_pull_bit_equals_host_cast():
+    """fp16_pull moves the fp32->fp16 cast onto the device (half the D2H
+    bytes — the post-pull host stall is bytes-proportional, see
+    tools/ablate_stall.py). Both casts round to nearest-even, so the
+    result must be bit-identical to pulling fp32 and casting on host."""
+    m = _laser("fp32")
+    w = _wave()
+    waves = [w[s:e] for s, e in SPANS]
+    ref = m.encode(waves).astype(np.float16)
+    got = m.encode(waves, fp16_pull=True)
+    assert got.dtype == np.float16
+    np.testing.assert_array_equal(ref, got)
+
+    got_spans = m.encode_spans(w, SPANS, fp16_pull=True)
+    assert got_spans.dtype == np.float16
+    np.testing.assert_array_equal(
+        m.encode_spans(w, SPANS).astype(np.float16), got_spans
+    )
+
+
+def test_fp16_pull_bit_equals_host_cast_sonar():
+    m = _sonar("fp32")
+    w = _wave(seconds=8)
+    waves = [w[:16000], w[8000:30000], w[16000:32000]]
+    ref = m.encode(waves).astype(np.float16)
+    got = m.encode(waves, fp16_pull=True)
+    assert got.dtype == np.float16
+    np.testing.assert_array_equal(ref, got)

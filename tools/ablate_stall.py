@@ -95,15 +95,33 @@ def main():
 
     # D2H-bytes case: one big pull (an hour-file's deferred embedding pulls
     # are ~50-100 MB fp32) — is the stall proportional to PULLED bytes?
-    big = _bump(jnp.zeros(64 * 1024 * 1024 // 2, jnp.int16))
-    big.block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(big)
-    print(f"64 MB pull: {time.perf_counter() - t0:.2f} s", flush=True)
-    del big
-    probe("64 MB pull")
-    time.sleep(5)
-    probe("64 MB pull (+5 s later)")
+    # First chip run (2026-08-18) answered YES and only for pulls: frees /
+    # execs topped out at 1.9 s of probe damage, while a single 64 MB pull
+    # took 3.96 s AND left the probe 80x slow (4.18 s) with 2.79 s still
+    # +5 s later. The sweep below sizes the fix: is the post-pull damage
+    # linear in bytes (fp16 pulls = half the stall), and does splitting
+    # the pull into chunks change anything?
+    def pull_case(label, mb, chunks=1):
+        n = mb * 1024 * 1024 // 2
+        big = _bump(jnp.zeros(n, jnp.int16))
+        big.block_until_ready()
+        step = n // chunks
+        t0 = time.perf_counter()
+        for c in range(chunks):
+            np.asarray(big[c * step : (c + 1) * step])
+        print(f"{label}: pull wall {time.perf_counter() - t0:.2f} s",
+              flush=True)
+        del big
+        probe(label)
+        time.sleep(5)
+        probe(label + " (+5 s later)")
+        time.sleep(10)
+        probe(label + " (+15 s later)")
+
+    pull_case("64 MB pull", 64)
+    pull_case("32 MB pull (fp16-sized)", 32)
+    pull_case("8 MB pull", 8)
+    pull_case("64 MB pull in 16 x 4 MB", 64, chunks=16)
 
 
 if __name__ == "__main__":
