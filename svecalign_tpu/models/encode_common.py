@@ -70,6 +70,41 @@ def _scatter_rows_fp16(dev: jax.Array, emb: jax.Array, idx: jax.Array) -> jax.Ar
     return dev.at[idx].set(emb.astype(jnp.float16), mode="drop")
 
 
+_PULL_ROWS = 2048  # 2048 x 1024 fp16 = 4 MB per pull — the measured D2H
+# sweet spot: tools/ablate_stall.py found pull wall superlinear in size
+# (64/32/8 MB = 3.78/0.85/0.25 s) and 4 MB chunks both faster in total and
+# gentler on the post-pull host degradation than one big pull.
+
+
+@_partial(jax.jit, static_argnames=("rows",))
+def _slice_rows(dev: jax.Array, start, rows: int = _PULL_ROWS) -> jax.Array:
+    return jax.lax.dynamic_slice(dev, (start, 0), (rows, dev.shape[1]))
+
+
+def _pull_accumulated_rows(dev: jax.Array, n: int) -> np.ndarray:
+    """Pull the first ``n`` rows of the (max_rows, dim) fp16 scatter
+    accumulator in fixed 2048-row slices.
+
+    Replaces the per-chunk deferred pulls (~34 ms tunnel overhead EACH —
+    an hour-file has 100-400 chunks) with a handful of fixed-shape pulls:
+    one dynamic_slice program total, ~4 MB per pull. Only valid when every
+    span's row was scattered into ``dev`` (the fused keep_device path) and
+    the caller wants fp16 — the accumulator rows ARE the fp16_pull values.
+    """
+    dim = dev.shape[1]
+    out = np.empty((n, dim), np.float16)
+    if dev.shape[0] <= _PULL_ROWS:
+        out[:] = np.asarray(dev)[:n]
+        return out
+    for s in range(0, n, _PULL_ROWS):
+        # clamp the window into the buffer; overlapping reads are fine
+        start = min(s, dev.shape[0] - _PULL_ROWS)
+        block = np.asarray(_slice_rows(dev, start))
+        e = min(s + _PULL_ROWS, n)
+        out[s:e] = block[s - start : s - start + (e - s)]
+    return out
+
+
 @jax.jit
 def _cast_fp16(emb: jax.Array) -> jax.Array:
     """fp32 -> fp16 on device, so the host pull moves half the bytes.
@@ -225,10 +260,14 @@ class SpanEncoderMixin:
                 pending.append((chunk, emb))
 
         t0 = t()
-        for chunk, emb in pending:
-            emb = np.asarray(emb, dtype=out.dtype)
-            for row, (i, _) in enumerate(chunk):
-                out[i] = emb[row]
+        if dev is not None and fp16_pull:
+            del pending  # burst-free the chunk outputs (measured innocent)
+            out = _pull_accumulated_rows(dev, len(spans))
+        else:
+            for chunk, emb in pending:
+                emb = np.asarray(emb, dtype=out.dtype)
+                for row, (i, _) in enumerate(chunk):
+                    out[i] = emb[row]
         if prof is not None:
             prof["pull_s"] += t() - t0
             prof["rows"] += len(spans)

@@ -502,10 +502,14 @@ class SpeechLaserModel(SpanEncoderMixin):
                 pending.append((chunk, emb))
 
         t0 = t()
-        for chunk, emb in pending:
-            emb = np.asarray(emb, dtype=out.dtype)
-            for row, (i, _) in enumerate(chunk):
-                out[i] = emb[row]
+        if dev is not None and fp16_pull:
+            del pending  # burst-free the chunk outputs (measured innocent)
+            out = encode_common._pull_accumulated_rows(dev, len(waveforms))
+        else:
+            for chunk, emb in pending:
+                emb = np.asarray(emb, dtype=out.dtype)
+                for row, (i, _) in enumerate(chunk):
+                    out[i] = emb[row]
         if prof is not None:
             prof["pull_s"] += t() - t0
             prof["rows"] += len(waveforms)

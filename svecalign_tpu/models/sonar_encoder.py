@@ -422,8 +422,14 @@ class SonarSpeechModel(SpanEncoderMixin):
                     dev = _scatter_rows_fp16(dev, emb, jnp.asarray(idx))
                 pending.append((chunk, emb))
 
-        for chunk, emb in pending:
-            emb = np.asarray(emb, dtype=out.dtype)
-            for row, (i, *_) in enumerate(chunk):
-                out[i] = emb[row]
+        if dev is not None and fp16_pull:
+            del pending  # burst-free the chunk outputs (measured innocent)
+            from svecalign_tpu.models import encode_common
+
+            out = encode_common._pull_accumulated_rows(dev, len(waveforms))
+        else:
+            for chunk, emb in pending:
+                emb = np.asarray(emb, dtype=out.dtype)
+                for row, (i, *_) in enumerate(chunk):
+                    out[i] = emb[row]
         return (out, dev) if keep_device else out

@@ -159,9 +159,20 @@ def batch_segment_fbanks(segments: List["Segment"]) -> List[np.ndarray]:
 
     mode = os.environ.get("SVECALIGN_FBANK_BATCH", "auto")
     if mode == "auto":
+        # Sniff the platform WITHOUT jax.default_backend(): that would
+        # initialize the axon backend inside a host-pinned stage, adding
+        # tunnel-health-dependent init latency (measured: +75 s on a busy
+        # tunnel) to a stage that otherwise never touches the device.
         import jax
 
-        mode = "0" if jax.default_backend() == "axon" else "1"
+        cfg = (
+            getattr(jax.config, "jax_platforms", None)
+            or os.environ.get("JAX_PLATFORMS")
+            or ""
+        )
+        # unknown ("") defaults to the host loop — the safe status quo;
+        # locally-attached-TPU users get the batch via SVECALIGN_FBANK_BATCH=1
+        mode = "1" if cfg and "axon" not in cfg.lower() and "cpu" not in cfg.lower() else "0"
     if mode == "0":
         return [seg.fbank() for seg in segments]
 

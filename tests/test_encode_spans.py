@@ -217,3 +217,29 @@ def test_fp16_pull_bit_equals_host_cast_sonar():
     got = m.encode(waves, fp16_pull=True)
     assert got.dtype == np.float16
     np.testing.assert_array_equal(ref, got)
+
+
+def test_fp16_pull_accumulator_path():
+    """With keep_device on, fp16_pull switches the final pulls from
+    per-chunk transfers to fixed 2048-row slices of the fp16 scatter
+    accumulator — the values must be the same either way."""
+    from svecalign_tpu.utils import embed_cache
+
+    m = _laser("fp32")
+    w = _wave()
+    waves = [w[s:e] for s, e in SPANS]
+    old = embed_cache.enabled
+    embed_cache.enabled = True
+    try:
+        plain = m.encode(waves, fp16_pull=True)
+        acc, dev = m.encode(waves, keep_device=True, fp16_pull=True)
+        acc_spans, dev2 = m.encode_spans(w, SPANS, keep_device=True,
+                                         fp16_pull=True)
+    finally:
+        embed_cache.enabled = old
+    assert dev is not None and dev2 is not None
+    assert acc.dtype == np.float16
+    np.testing.assert_array_equal(plain, acc)
+    np.testing.assert_array_equal(
+        m.encode_spans(w, SPANS, fp16_pull=True), acc_spans
+    )

@@ -47,10 +47,15 @@ def main():
                          "over jax's trace caches rather than client RPC "
                          "work")
     ap.add_argument("--ab_buckets", type=str, default=None,
-                    help="two window-bucket sets (seconds) to alternate per "
-                         "rep, e.g. '4,20,30:4,8,14,20,30' — measures the "
+                    help="two window-bucket sets to alternate per rep, "
+                         "e.g. '4,20,30:4,8,14,20,30' — measures the "
                          "padding-waste lever in one tunnel window "
-                         "(device assembly only)")
+                         "(device assembly only). Units: seconds for "
+                         "speech_laser, FRAMES for sonar (BUCKET_FRAMES)")
+    ap.add_argument("--model", type=str, default="speech_laser",
+                    choices=["speech_laser", "sonar"],
+                    help="which encoder to profile (sonar = w2v-BERT "
+                         "conformer; its buckets are frame counts)")
     args = ap.parse_args()
 
     from svecalign_tpu.models import laser_encoder
@@ -59,7 +64,7 @@ def main():
 
     from svecalign_tpu.utils.audio_utils import SAMPLE_RATE, load_waveform
 
-    model = load_embed_model("speech_laser")
+    model = load_embed_model(args.model)
     segments = read_segments(args.concat)
     print(f"{len(segments)} windows; total window audio "
           f"{sum(e - s for s, e in segments) / 16000:.0f} s "
@@ -71,9 +76,11 @@ def main():
     modes = {"host": ["host"], "device": ["device"],
              "ab": ["host", "device"]}[args.assembly]
     bucket_sets = None
+    bucket_attr = "BUCKETS" if args.model == "speech_laser" else "BUCKET_FRAMES"
+    bucket_unit = 16000 if args.model == "speech_laser" else 1
     if args.ab_buckets:
         bucket_sets = [
-            tuple(int(x) * 16000 for x in part.split(","))
+            tuple(int(x) * bucket_unit for x in part.split(","))
             for part in args.ab_buckets.split(":")
         ]
         modes = [f"device/buckets={i}" for i in range(len(bucket_sets))]
@@ -95,7 +102,7 @@ def main():
             order = order[::-1]
         for mi, mode in order:
             if bucket_sets is not None:
-                model.BUCKETS = bucket_sets[mi]
+                setattr(model, bucket_attr, bucket_sets[mi])
             if models is not None:
                 model = models[mi]
             if args.ab_gc:
