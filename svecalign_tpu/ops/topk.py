@@ -891,16 +891,22 @@ class ShardedIVFIndex:
         return min(1 << (g - 1).bit_length(), self._nb_shard)
 
     def _check_fresh(self) -> None:
-        """Refuse to search over a stale snapshot (see __init__)."""
-        assert self._source.ntotal == self._ntotal, (
-            f"wrapped IVFIndex grew after sharding ({self._source.ntotal} vs "
-            f"{self._ntotal} rows); rebuild the ShardedIVFIndex"
-        )
-        assert self._source.nprobe == self._source_nprobe, (
-            f"wrapped IVFIndex nprobe changed after sharding "
-            f"({self._source.nprobe} vs {self._source_nprobe}); rebuild the "
-            "ShardedIVFIndex"
-        )
+        """Refuse to search over a stale snapshot (see __init__).
+
+        Real raises, not asserts: the guard must survive ``python -O`` —
+        silently answering over an outdated corpus is the exact failure
+        this exists to prevent."""
+        if self._source.ntotal != self._ntotal:
+            raise RuntimeError(
+                f"wrapped IVFIndex grew after sharding ({self._source.ntotal}"
+                f" vs {self._ntotal} rows); rebuild the ShardedIVFIndex"
+            )
+        if self._source.nprobe != self._source_nprobe:
+            raise RuntimeError(
+                f"wrapped IVFIndex nprobe changed after sharding "
+                f"({self._source.nprobe} vs {self._source_nprobe}); rebuild "
+                "the ShardedIVFIndex"
+            )
 
     def _run_chunks(self, stage_chunk, nq: int, k: int):
         self._check_fresh()

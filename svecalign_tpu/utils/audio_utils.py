@@ -159,20 +159,26 @@ def batch_segment_fbanks(segments: List["Segment"]) -> List[np.ndarray]:
 
     mode = os.environ.get("SVECALIGN_FBANK_BATCH", "auto")
     if mode == "auto":
-        # Sniff the platform WITHOUT jax.default_backend(): that would
-        # initialize the axon backend inside a host-pinned stage, adding
-        # tunnel-health-dependent init latency (measured: +75 s on a busy
-        # tunnel) to a stage that otherwise never touches the device.
+        # Sniff a PINNED platform from config/env first: calling
+        # jax.default_backend() under JAX_PLATFORMS=axon would initialize
+        # the tunnel inside a host-pinned stage (+75 s measured on a busy
+        # tunnel) for a stage that otherwise never touches the device.
         import jax
 
         cfg = (
             getattr(jax.config, "jax_platforms", None)
             or os.environ.get("JAX_PLATFORMS")
             or ""
-        )
-        # unknown ("") defaults to the host loop — the safe status quo;
-        # locally-attached-TPU users get the batch via SVECALIGN_FBANK_BATCH=1
-        mode = "1" if cfg and "axon" not in cfg.lower() and "cpu" not in cfg.lower() else "0"
+        ).lower()
+        if cfg:
+            mode = "1" if "axon" not in cfg and "cpu" not in cfg else "0"
+        else:
+            # no platform pinned -> axon cannot be the default backend (it
+            # only loads when JAX_PLATFORMS names it), so asking jax for
+            # the real backend is safe: a locally-attached TPU/GPU inits in
+            # well under a second, and that's exactly the machine where the
+            # device batch wins (the +75 s init hazard is axon-only)
+            mode = "1" if jax.default_backend() not in ("cpu",) else "0"
     if mode == "0":
         return [seg.fbank() for seg in segments]
 

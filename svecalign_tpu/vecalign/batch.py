@@ -441,6 +441,7 @@ def _build_doc_tensors(emb: jax.Array, ids: jax.Array) -> jax.Array:
     return costs_ops.make_norm1(vecs)
 
 
+@jax.jit
 def _build_doc_tensors_flat(flat_rows: jax.Array, gids: jax.Array) -> jax.Array:
     """(R, d) fp16 document bank + (P, n_overlaps, n) GLOBAL row ids
     (-1 = zero row) -> (P, n_overlaps, n, d) fp32 normalized overlap

@@ -489,10 +489,10 @@ def test_sharded_ivf_rejects_stale_snapshot():
     sh = ShardedIVFIndex(ivf)
 
     ivf.nprobe = 4
-    with pytest.raises(AssertionError, match="nprobe changed"):
+    with pytest.raises(RuntimeError, match="nprobe changed"):
         sh.search(corpus[:4], 4)
     ivf.nprobe = 2
 
     ivf.add(corpus[:8])
-    with pytest.raises(AssertionError, match="grew after sharding"):
+    with pytest.raises(RuntimeError, match="grew after sharding"):
         sh.search(corpus[:4], 4)
