@@ -45,20 +45,19 @@ NEG_BP = -42  # backpointer marker for unreachable cells (dp_core.pyx:367-368)
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def dense_dp(costs: Array, pen: Array) -> Tuple[Array, Array]:
-    """Full 2-D DP over a (N, M) 1-1 cost matrix with ins/del penalty ``pen``.
+def dense_dp_scan(costs: Array, pen: Array) -> Tuple[Array, Array]:
+    """Device half of the dense DP: anti-diagonal wavefront ``lax.scan``
+    over a (N, M) 1-1 cost matrix. Returns the DIAGONAL-MAJOR planes
+    (val_diags, bp_diags) of shape (N+M+1, N+1) — ``plane[d, r]`` is node
+    (r, d - r) — deliberately NOT reassembled into (row, col) layout on
+    device: see :func:`dense_reassemble` for why.
 
-    Returns (csum, bp) of shape (N+1, M+1): cumulative cost and backpointers
-    on nodes (0 = diag, 1 = left/insertion, 2 = up/deletion), matching
-    reference dp_core.pyx:79-141 including tie-breaking priority
-    diag > left > up.
-
-    Computed as an anti-diagonal wavefront ``lax.scan``: every cell of an
-    anti-diagonal depends only on the two previous anti-diagonals, so each
-    step is pure vector math (no within-step dependency) and each candidate
-    uses the same arithmetic chain as the sequential recurrence — exact ties
-    (e.g. along deletion runs) resolve identically.
+    Every cell of an anti-diagonal depends only on the two previous
+    anti-diagonals, so each step is pure vector math (no within-step
+    dependency) and each candidate uses the same arithmetic chain as the
+    sequential recurrence — exact ties (e.g. along deletion runs) resolve
+    identically. Tie-breaking priority diag > left > up matches reference
+    dp_core.pyx:79-141.
     """
     n, m = costs.shape
     rmax, cmax = n + 1, m + 1
@@ -120,11 +119,51 @@ def dense_dp(costs: Array, pen: Array) -> Tuple[Array, Array]:
         step, (p0, p0), (cost_diag, dd[:, 0])
     )
 
-    # reassemble (d, r) diagonal-major planes into (r, c) matrices
-    rg, cg = jnp.meshgrid(r_idx, jnp.arange(cmax, dtype=jnp.int32), indexing="ij")
-    csum = val_diags[rg + cg, rg]
-    bp = bp_diags[rg + cg, rg]
-    return csum, bp
+    return val_diags, bp_diags
+
+
+_dense_dp_scan_j = jax.jit(dense_dp_scan)
+
+
+def dense_reassemble(plane: np.ndarray) -> np.ndarray:
+    """HOST-side (d, r) diagonal-major -> (r, c) node-matrix reassembly
+    (leading batch dims pass through).
+
+    On host, deliberately. The (r, c) gather inside the device program is
+    an XLA:TPU landmine (v5e, 2026-08-18, tools/repro_dense_fault.py /
+    repro_dense_parts.py): the original two same-index gathers (csum fp32
+    + bp int8) got fused into a dual-output gather that KILLED the TPU
+    worker ("kernel fault") at e.g. (P>=4, 256,256)/(288,288)/(512,512)
+    while each gather alone ran everywhere probed; rewriting them as one
+    stacked gather fixed those shapes but faulted at (P=1, 256,256). No
+    shape predicate survived probing, so the kernels return the scan's
+    raw planes and this numpy gather (sub-ms at dense-level sizes, ~2x
+    the pull bytes) does the reassembly where compilers can't hurt it."""
+    plane = np.asarray(plane)
+    n_diags, rmax = plane.shape[-2:]
+    cmax = n_diags - rmax + 1
+    r = np.arange(rmax)[:, None]
+    c = np.arange(cmax)[None, :]
+    return plane[..., r + c, r]
+
+
+def dense_dp(costs, pen) -> Tuple[np.ndarray, np.ndarray]:
+    """Full dense DP: device wavefront scan + host reassembly.
+
+    Returns NUMPY (csum, bp) of shape (N+1, M+1): cumulative cost and
+    backpointers on nodes (0 = diag, 1 = left/insertion, 2 = up/deletion),
+    matching reference dp_core.pyx:79-141 including tie-breaking priority
+    diag > left > up. Use :func:`dense_dp_bp` when only the backpointers
+    are needed (skips the fp32 plane pull)."""
+    vd, bd = _dense_dp_scan_j(costs, pen)
+    return dense_reassemble(vd), dense_reassemble(bd)
+
+
+def dense_dp_bp(costs, pen) -> np.ndarray:
+    """Backpointers-only dense DP — pulls just the int8 plane (the
+    traceback never reads csum; the fp32 plane stays on device)."""
+    _, bd = _dense_dp_scan_j(costs, pen)
+    return dense_reassemble(bd)
 
 
 # ---------------------------------------------------------------------------

@@ -279,10 +279,9 @@ def vecalign(
     runtimes["Full DP make features"] = time() - t0
 
     t0 = time()
-    _, x_y_tb = dp_ops.dense_dp(
+    stack[max_depth]["x_y_tb"] = dp_ops.dense_dp_bp(
         stack[max_depth]["costs_1to1"], jnp.float32(stack[max_depth]["del_penalty"])
     )
-    stack[max_depth]["x_y_tb"] = np.asarray(x_y_tb)
     stack[max_depth]["alignments"] = dense_traceback(stack[max_depth]["x_y_tb"])
     runtimes["Full DP"] = time() - t0
 

@@ -28,7 +28,12 @@ def test_dense_costs_matches_oracle():
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.parametrize("shape", [(12, 9), (1, 5), (30, 30)])
+# (224, 224) and (256, 230) are in the size class where XLA:TPU's fused
+# dual-output gather faulted the worker before the reassembly was rewritten
+# as ONE stacked gather (tools/repro_dense_fault.py; see dense_dp)
+@pytest.mark.parametrize(
+    "shape", [(12, 9), (1, 5), (30, 30), (224, 224), (256, 230)]
+)
 def test_dense_dp_matches_oracle(seed, shape):
     rng = np.random.default_rng(seed)
     cost = rng.uniform(0, 1, shape).astype(np.float32)
