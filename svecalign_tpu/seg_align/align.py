@@ -12,6 +12,8 @@ CLI: ``python -m svecalign_tpu.seg_align.align METADATA OUT_DIR --src_lang S
 
 import argparse
 import dataclasses
+import os
+import time
 from pathlib import Path
 from typing import List, Optional, Tuple, Union
 
@@ -241,6 +243,14 @@ def _run_pairs_batched(args, valid_pairs):
     types = make_alignment_types(args.alignment_max_size)
     width_over2 = math.ceil((args.alignment_max_size - 1) / 2.0) + args.search_buffer_size
 
+    # SVECALIGN_ALIGN_PROFILE=1: wall-clock the driver's phases (pair
+    # loading, per-bucket staging/pyramid/write). The rehearsal showed the
+    # align stage costing ~4x its standalone wall when it runs right after
+    # the embed stage — the profile attributes that gap in-context.
+    profile = os.environ.get("SVECALIGN_ALIGN_PROFILE") == "1"
+    prof = {"load": 0.0, "stage": 0.0, "pyramid": 0.0, "write": 0.0}
+    t_phase = time.perf_counter()
+
     loaded = []        # file-backed pairs: fp16 rows re-uploaded per bucket
     fused_loaded = []  # fused-pipeline pairs: rows already on device
     for pair in valid_pairs:
@@ -284,6 +294,7 @@ def _run_pairs_batched(args, valid_pairs):
         )
         item = (pair, emb0, ids0, emb1, ids1)
         (fused_loaded if cached0 is not None and cached1 is not None else loaded).append(item)
+    prof["load"] = time.perf_counter() - t_phase
 
     kwargs = dict(
         final_alignment_types=types,
@@ -335,13 +346,24 @@ def _run_pairs_batched(args, valid_pairs):
     # Fused pairs form their own buckets with the device staging path.
     quant = args.upload_quant
 
+    # a short tail bucket would compile its own (P, ...) program family —
+    # round it up to the full pair_batch (duplicated pairs' outputs are
+    # dropped by the result zip) whenever other buckets exist to share
+    # programs with; a run that fits in one bucket keeps its exact P
+    n_pairs_total = len(loaded) + len(fused_loaded)
+    from svecalign_tpu.vecalign.batch import shape_grid_enabled
+
+    pad_tail = shape_grid_enabled() and n_pairs_total > pair_batch
+
     def pad_bucket(bucket):
-        """A sharded bucket must split evenly over the mesh: repeat the
-        last pair (the duplicates' outputs are dropped by the result zip)."""
-        if sharding is None:
-            return bucket
-        n_dev = sharding.mesh.size
-        return bucket + bucket[-1:] * (-len(bucket) % n_dev)
+        """Repeat the last pair up to the target P (full pair_batch for
+        tail buckets, and/or an even split over the mesh); the duplicates'
+        outputs are dropped by the result zip."""
+        target = pair_batch if pad_tail else len(bucket)
+        if sharding is not None:
+            n_dev = sharding.mesh.size
+            target += -target % n_dev
+        return bucket + bucket[-1:] * (target - len(bucket))
 
     def stage_upload(bucket):
         return stage_rows_upload(
@@ -373,13 +395,35 @@ def _run_pairs_batched(args, valid_pairs):
         fut = ex.submit(buckets[0][1], buckets[0][0]) if buckets else None
         for bi in my_tqdm(range(len(buckets))):
             bucket, _ = buckets[bi]
+            t0 = time.perf_counter()
             handle = fut.result()
             if bi + 1 < len(buckets):
                 fut = ex.submit(buckets[bi + 1][1], buckets[bi + 1][0])
+            t1 = time.perf_counter()
             results = run_staged(handle, **kwargs)
+            t2 = time.perf_counter()
             for (pair, *_), (aligns, scores) in zip(bucket, results):
                 with open(pair.output_path, mode="w") as fp:
                     print_alignments(aligns, scores=scores, ofile=fp)
+            t3 = time.perf_counter()
+            prof["stage"] += t1 - t0
+            prof["pyramid"] += t2 - t1
+            prof["write"] += t3 - t2
+            if profile:
+                v0 = handle[0]
+                logger.info(
+                    f"align profile: bucket {bi} P={v0.shape[0]} "
+                    f"n={v0.shape[2]} m={handle[1].shape[2]} "
+                    f"stage_wait={t1 - t0:.2f}s pyramid={t2 - t1:.2f}s "
+                    f"write={t3 - t2:.2f}s"
+                )
+    if profile:
+        logger.info(
+            "align profile: load=%.2fs stage_wait=%.2fs pyramid=%.2fs "
+            "write=%.2fs (%d buckets)"
+            % (prof["load"], prof["stage"], prof["pyramid"], prof["write"],
+               len(buckets))
+        )
 
 
 def _run_pairs(args, valid_pairs):

@@ -27,6 +27,7 @@ on host — so a batch of same-sized pairs is sample-identical to per-pair
 runs. Used by the CI exactness gate; costs one extra host pull per depth.
 """
 
+import os
 from functools import partial
 from typing import List, Sequence, Tuple
 
@@ -75,7 +76,17 @@ def _downsample_masked(vecs: jax.Array, sizes: jax.Array):
 
 
 _batched_dense_costs = jax.jit(jax.vmap(costs_ops.dense_costs))
-_batched_dense_dp = jax.jit(jax.vmap(dp_ops.dense_dp, in_axes=(0, 0)))
+_batched_dense_scan = jax.jit(jax.vmap(dp_ops.dense_dp_scan, in_axes=(0, 0)))
+
+
+def _batched_dense_bp(costs, pen):
+    """(P, n, m) costs -> host numpy (P, n+1, m+1) backpointers. The scan
+    runs on device; the diagonal-major -> (r, c) reassembly runs on host
+    (dp_ops.dense_reassemble — device gathers here are an XLA:TPU
+    landmine). Only the int8 bp plane crosses the tunnel; the dense
+    traceback never reads csum."""
+    _, bd = _batched_dense_scan(costs, pen)
+    return dp_ops.dense_reassemble(bd)
 
 
 @jax.jit
@@ -467,6 +478,37 @@ per-refinement-level band-offset uploads. bench.py reports bytes-per-pair
 from this."""
 
 
+def shape_grid_enabled() -> bool:
+    """Padded-shape bucketing (default on; SVECALIGN_SHAPE_GRID=0 reverts
+    to exact bucket-max padding).
+
+    Every jitted stage keys on the bucket's padded dims, and on axon a
+    fresh program set costs ~20 s to compile — measured: a 32-pair
+    rehearsal corpus split into two buckets paid two full compile bills
+    (tools/profile_align.py: 46 s cold vs 1.1 s warm for the same work).
+    Rounding the padded doc dims up to powers of two (floor 64) and
+    deriving the band length from the padded dims (instead of the
+    data-dependent longest search path) collapses same-class buckets onto
+    one compiled program family. All batched compute is masked by the
+    per-pair true sizes, so extra padding never changes valid cells; the
+    one semantic shift is that pyramid depth follows the gridded dims, so
+    a pair's level count depends on its size class rather than on its
+    bucket-mates' exact sizes (arguably more reproducible than before)."""
+    return os.environ.get("SVECALIGN_SHAPE_GRID", "1") != "0"
+
+
+def _grid_dim(n: int, floor: int = 64) -> int:
+    """Next power of two >= max(n, floor)."""
+    return 1 << (max(int(n), floor) - 1).bit_length()
+
+
+def _grid_rows(r: int) -> int:
+    """Embedding-row counts round to multiples of 256: they are upload
+    bytes on the file+upload path, so the pow2 grid's <=2x inflation would
+    cost real tunnel time; <=256 rows of zero padding is ~0.5 MB fp16."""
+    return -(-int(r) // 256) * 256
+
+
 def _pad_id_maps(pairs):
     """Shared staging bookkeeping: pad each pair's (ids0, ids1) overlap-id
     maps to one (P, n_over, n_pad) int32 block (-1 = PAD) and collect the
@@ -478,6 +520,8 @@ def _pad_id_maps(pairs):
     n_over1 = pairs[0][3].shape[0]
     n_pad = max(p[1].shape[1] for p in pairs)
     m_pad = max(p[3].shape[1] for p in pairs)
+    if shape_grid_enabled():
+        n_pad, m_pad = _grid_dim(n_pad), _grid_dim(m_pad)
     ids0 = np.full((P, n_over0, n_pad), -1, dtype=np.int32)
     ids1 = np.full((P, n_over1, m_pad), -1, dtype=np.int32)
     for i, (_, i0, _, i1) in enumerate(pairs):
@@ -525,6 +569,8 @@ def stage_rows_upload(
 
     r0 = max(p[0].shape[0] for p in pairs)
     r1 = max(p[2].shape[0] for p in pairs)
+    if shape_grid_enabled():
+        r0, r1 = _grid_rows(r0), _grid_rows(r1)
     ids0, ids1, sizes0, sizes1 = _pad_id_maps(pairs)
 
     emb0 = np.zeros((P, r0, dim), dtype=in_dtype)
@@ -664,6 +710,8 @@ def vecalign_batched(
     sizes1 = np.array([v1.shape[1] for _, v1 in pairs], dtype=np.int32)
     n_pad = int(sizes0.max())
     m_pad = int(sizes1.max())
+    if shape_grid_enabled():
+        n_pad, m_pad = _grid_dim(n_pad), _grid_dim(m_pad)
 
     # pad in the pairs' own dtype (fp16 halves the host->device upload);
     # the normalization jit upcasts to fp32 on device
@@ -858,8 +906,7 @@ def _vecalign_batched_core(
     costs = _batched_dense_costs(
         top["v0"][:, 0], top["v1"][:, 0], top["n0"][:, 0], top["n1"][:, 0]
     )
-    _, bp = _batched_dense_dp(costs, top["del_penalty"])
-    bp = np.asarray(bp)
+    bp = _batched_dense_bp(costs, top["del_penalty"])
     top["alignments"] = [
         dense_traceback(bp[i][: top["h_sizes0"][i] + 1, : top["h_sizes1"][i] + 1])
         for i in range(P)
@@ -882,7 +929,16 @@ def _vecalign_batched_core(
                 coarse = stack[0]["alignments"][i]
             paths.append(alignment_to_search_path(coarse))
 
-        a_pad = max(len(p) for p in paths)
+        # band length: a unit-step search path over an (s0, s1) pair has
+        # exactly s0 + s1 + 1 nodes, so the padded level dims bound every
+        # pair's path. Deriving a_pad from the shapes (not the data) keeps
+        # the banded-level programs' compile keys stable across buckets —
+        # the data-dependent max path length recompiled every level of
+        # every bucket on axon (~20 s per bucket, tools/profile_align.py).
+        if shape_grid_enabled():
+            a_pad = e["v0"].shape[2] + e["v1"].shape[2] + 1
+        else:
+            a_pad = max(len(p) for p in paths)
         boff_in = np.zeros((P, a_pad), dtype=np.int32)
         for i, path in enumerate(paths):
             bo = costs_ops.path_to_band_offsets(path, width_over2)
