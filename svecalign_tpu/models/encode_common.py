@@ -30,6 +30,7 @@ tools/ablate_assemble.py; 2026-08-17, v5e over the axon tunnel):
   (tests/test_encode_spans.py).
 """
 
+import os
 import time
 from functools import partial as _partial
 
@@ -105,6 +106,33 @@ def _pull_accumulated_rows(dev: jax.Array, n: int) -> np.ndarray:
     return out
 
 
+def _fused_chunk_enabled() -> bool:
+    """One executable per chunk instead of three (OPT-IN:
+    SVECALIGN_FUSED_CHUNK=1; default off).
+
+    Measured on chip (tools/profile_embed.py --ab_fused_chunk, v5e
+    2026-08-18) and left off for two reasons: (1) warm PARITY — 2.03 vs
+    2.01 s per 240-s file, bit-identical rows — because the per-chunk
+    wall is real device compute (~3,000x-RT forward at 62.8% MFU), not
+    per-exec overhead; and (2) the fused program closes over the padded
+    WAVE shape via the window gather, so its compile key is (wave bucket
+    x span bucket x rows) — the whole encoder recompiles per wave-length
+    bucket (~+190 s cold in the rehearsal) where the split path keys the
+    expensive forward on (rows, bucket) alone. The materialized per-file
+    dequant stays its own program either way (fusing THAT into the
+    gather measured 23.5 ms/chunk vs 0.8 — module docstring)."""
+    return os.environ.get("SVECALIGN_FUSED_CHUNK", "0") == "1"
+
+
+@_partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows_fp16_idx4(dev, emb, idx4):
+    """_scatter_rows_fp16 taking the staged (rows, 4) chunk index block —
+    the target row ids ride the one staged upload (column 3) instead of a
+    separate per-chunk device_put (which BLOCKS ~25 ms in the tunnel's
+    post-D2H mode)."""
+    return dev.at[idx4[:, 3]].set(emb.astype(jnp.float16), mode="drop")
+
+
 @jax.jit
 def _cast_fp16(emb: jax.Array) -> jax.Array:
     """fp32 -> fp16 on device, so the host pull moves half the bytes.
@@ -121,6 +149,32 @@ def _cast_fp16(emb: jax.Array) -> jax.Array:
 
 class SpanEncoderMixin:
     """encode_spans() for models exposing the hook set described above."""
+
+    def _get_fused_chunk(self, width: int, fp32: bool, bucket):
+        """One jitted program per (width, fp32, bucket): window gather +
+        span forward + fp16 scatter into the DONATED accumulator. None
+        when the model can't inline its forward (mesh-sharded pjit path,
+        or no _span_forward_pure hook)."""
+        pure = getattr(self, "_span_forward_pure", lambda: None)()
+        if pure is None:
+            return None
+        cache = self.__dict__.setdefault("_fused_chunk_jits", {})
+        key = (width, fp32, bucket)
+        fn = cache.get(key)
+        if fn is None:
+            from svecalign_tpu.ops import assemble
+
+            def fused(params, dev, wave, idx4):
+                rows_q, scales, lengths = assemble.assemble_pure(
+                    wave, idx4[:, :3], width, fp32
+                )
+                emb = pure(params, rows_q, scales, lengths, bucket)
+                return dev.at[idx4[:, 3]].set(
+                    emb.astype(jnp.float16), mode="drop"
+                )
+
+            fn = cache[key] = jax.jit(fused, donate_argnums=(1,))
+        return fn
 
     def encode_spans(
         self,
@@ -215,18 +269,28 @@ class SpanEncoderMixin:
                 chunks.append((rows, bucket, items[c0 : c0 + rows]))
 
         def stage(args):
-            """device_put one chunk's (rows, 3) [start, n_samples, out_len]
-            indices on a worker thread (puts block their caller in the
-            tunnel's post-D2H mode; tiny as they are, ~25 ms each adds up)."""
+            """device_put one chunk's (rows, 4) [start, n_samples, out_len,
+            target_row] indices on a worker thread (puts block their caller
+            in the tunnel's post-D2H mode; tiny as they are, ~25 ms each
+            adds up). Column 3 feeds the fp16 scatter (int32.max = padding
+            row, dropped); riding the same upload avoids a second blocking
+            put per chunk."""
             rows, bucket, chunk = args
-            idx = np.zeros((rows, 3), np.int32)
-            for row, (_, idx_row) in enumerate(chunk):
-                idx[row] = idx_row
+            idx = np.zeros((rows, 4), np.int32)
+            idx[:, 3] = np.iinfo(np.int32).max
+            for row, (i, idx_row) in enumerate(chunk):
+                idx[row, :3] = idx_row
+                idx[row, 3] = i
             return jnp.asarray(idx)
 
         prof = encode_profile
         t = time.perf_counter
         from concurrent.futures import ThreadPoolExecutor
+
+        # the fused-chunk program needs the accumulator (it scatters into
+        # it) and fp16 rows (the accumulator IS the output); otherwise the
+        # chunk runs as separate assemble / forward / scatter programs
+        fuse_chunks = dev is not None and fp16_pull and _fused_chunk_enabled()
 
         pending = []
         with ThreadPoolExecutor(1) as ex:
@@ -241,9 +305,17 @@ class SpanEncoderMixin:
                 if ci + 1 < len(chunks):
                     fut = ex.submit(stage, chunks[ci + 1])
                 t0 = t()
-                asm = assemble.get_assembler(
-                    wave_len + slack, self._bucket_width(bucket), fp32
+                width = self._bucket_width(bucket)
+                fused = (
+                    self._get_fused_chunk(width, fp32, bucket)
+                    if fuse_chunks else None
                 )
+                if fused is not None:
+                    dev = fused(self.params, dev, wave_dev, idx_dev)
+                    if prof is not None:
+                        prof["forward_dispatch_s"] += t() - t0
+                    continue
+                asm = assemble.get_assembler(wave_len + slack, width, fp32)
                 rows_q, row_scales, lengths = asm(wave_dev, idx_dev)
                 emb = self._span_forward(rows_q, row_scales, lengths, bucket)
                 if fp16_pull:
@@ -251,10 +323,8 @@ class SpanEncoderMixin:
                 if prof is not None:
                     prof["forward_dispatch_s"] += t() - t0
                 if dev is not None:
-                    tgt = np.full((rows,), np.iinfo(np.int32).max, np.int32)
-                    tgt[: len(chunk)] = [i for i, _ in chunk]
                     t0 = t()
-                    dev = _scatter_rows_fp16(dev, emb, jnp.asarray(tgt))
+                    dev = _scatter_rows_fp16_idx4(dev, emb, idx_dev)
                     if prof is not None:
                         prof["scatter_dispatch_s"] += t() - t0
                 pending.append((chunk, emb))

@@ -375,6 +375,15 @@ class SpeechLaserModel(SpanEncoderMixin):
     def _span_forward(self, rows_q, row_scales, lengths, bucket):
         return self._forward(self.params, rows_q, row_scales, lengths)
 
+    def _span_forward_pure(self):
+        if getattr(self, "_dp_rows", 1) != 1:
+            return None  # mesh path keeps its sharded pjit forward
+
+        def fn(params, rows_q, row_scales, lengths, bucket):
+            return self._dequant_apply(params, rows_q, row_scales, lengths)
+
+        return fn
+
     @property
     def _embed_dim(self) -> int:
         return self.config.encoder_dim

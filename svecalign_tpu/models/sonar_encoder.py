@@ -249,15 +249,7 @@ class SonarSpeechModel(SpanEncoderMixin):
                 "SONAR encoder initialized with RANDOM weights; "
                 "embeddings are not meaningful for mining."
             )
-        def _apply_wav(params, wav, scales, lengths, n_frames):
-            # int16 upload + device dequant (fp32 inputs pass through with
-            # scale 1.0); fbank + normalization + stacking fused into the
-            # forward so features never cross the tunnel
-            wav = wav.astype(jnp.float32) * scales[:, None]
-            feats, mask2 = sonar_frontend(
-                wav, lengths, n_frames, self.config.n_mels
-            )
-            return self.model.apply(params, feats, mask2)
+        _apply_wav = self._dequant_apply
 
         # data-parallel inference, mirroring SpeechLaserModel.__init__:
         # batch rows shard over the mesh's 'data' axis, params replicate.
@@ -296,6 +288,16 @@ class SonarSpeechModel(SpanEncoderMixin):
             )
             self._dp_rows = 1
 
+    def _dequant_apply(self, params, wav, scales, lengths, n_frames):
+        """Pure forward from int16-quantized waveforms (fp32 inputs pass
+        through with scale 1.0); fbank + normalization + stacking fused
+        into the forward so features never cross the tunnel."""
+        wav = wav.astype(jnp.float32) * scales[:, None]
+        feats, mask2 = sonar_frontend(
+            wav, lengths, n_frames, self.config.n_mels
+        )
+        return self.model.apply(params, feats, mask2)
+
     def _bucket(self, n: int) -> int:
         for b in self.BUCKET_FRAMES:
             if n <= b:
@@ -322,6 +324,17 @@ class SonarSpeechModel(SpanEncoderMixin):
 
     def _span_forward(self, rows_q, row_scales, lengths, bucket):
         return self._forward(self.params, rows_q, row_scales, lengths, bucket)
+
+    def _span_forward_pure(self):
+        if getattr(self, "_dp_rows", 1) != 1:
+            return None  # mesh path keeps its sharded pjit forward
+
+        def fn(params, rows_q, row_scales, lengths, bucket):
+            return self._dequant_apply(
+                params, rows_q, row_scales, lengths, bucket
+            )
+
+        return fn
 
     @property
     def _embed_dim(self) -> int:

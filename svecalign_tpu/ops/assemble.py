@@ -110,20 +110,27 @@ def get_assembler(padded_len: int, width: int, fp32: bool):
 
     @jax.jit
     def assemble(w, idx):
-        n_rows = idx.shape[0]
-        n_samples = jnp.minimum(idx[:, 1], width)
-
-        def one(start):
-            return jax.lax.dynamic_slice(w, (start,), (width,))
-
-        rows = jax.vmap(one)(idx[:, 0])
-        rows = jnp.where(jnp.arange(width)[None, :] < n_samples[:, None], rows, 0.0)
-        if fp32:
-            return rows, jnp.ones(n_rows, jnp.float32), idx[:, 2]
-        peak = jnp.max(jnp.abs(rows), axis=1)
-        scale = jnp.where(peak > 0, peak / 32767.0, 1.0)
-        rows_q = jnp.rint(rows / scale[:, None]).astype(jnp.int16)
-        return rows_q, scale.astype(jnp.float32), idx[:, 2]
+        return assemble_pure(w, idx, width, fp32)
 
     _assemblers[key] = assemble
     return assemble
+
+
+def assemble_pure(w, idx, width: int, fp32: bool):
+    """Traceable body of :func:`get_assembler` — also inlined into the
+    fused per-chunk program (encode_common), where gather + forward +
+    scatter run as ONE executable to cut axon per-exec overhead."""
+    n_rows = idx.shape[0]
+    n_samples = jnp.minimum(idx[:, 1], width)
+
+    def one(start):
+        return jax.lax.dynamic_slice(w, (start,), (width,))
+
+    rows = jax.vmap(one)(idx[:, 0])
+    rows = jnp.where(jnp.arange(width)[None, :] < n_samples[:, None], rows, 0.0)
+    if fp32:
+        return rows, jnp.ones(n_rows, jnp.float32), idx[:, 2]
+    peak = jnp.max(jnp.abs(rows), axis=1)
+    scale = jnp.where(peak > 0, peak / 32767.0, 1.0)
+    rows_q = jnp.rint(rows / scale[:, None]).astype(jnp.int16)
+    return rows_q, scale.astype(jnp.float32), idx[:, 2]

@@ -81,53 +81,81 @@ def main():
 
     profiling = os.environ.get("SVECALIGN_EMBED_PROFILE", "") not in ("", "0")
 
-    for audio_file in my_tqdm(all_inputs):
+    def load_inputs(audio_file):
+        """Segment list + decoded waveform for one file — pure host/disk
+        work, prefetched for file i+1 on a worker thread while file i
+        encodes (the wav decode is 0.5-3 s of single-core time that
+        otherwise serializes against idle device time). Returns None when
+        the file should be skipped."""
         audio_stem = Path(audio_file).stem
         seg_file = concat_dir / f"{audio_stem}.txt"
         if not seg_file.exists():
             logger.warning(f"{seg_file} not exists! Skip.")
-            continue
-
+            return None
         all_segments = read_segments(seg_file)
         if len(all_segments) == 0:
             logger.warning(
                 f"encountered empty segment file {seg_file}, corresponding "
                 f"audio file is {audio_file}"
             )
-            continue
-
-        tmp_out_path = out_dir / f"{audio_stem}.tmp.embed"
+            return None
         embed_out_path = out_dir / f"{audio_stem}.embed"
         if embed_out_path.exists():
-            continue  # skip processed inputs
-
-        prof = None
-        if profiling:
-            from svecalign_tpu.models import laser_encoder
-
-            prof = laser_encoder.start_encode_profile()
-            t_file = time.perf_counter()
-        embed_segments_to_file(
-            embed_model,
-            args.embed_model_type,
-            audio_file,
-            all_segments,
-            str(tmp_out_path),
-            fp16=not embed_fp32,
-            # fused pipeline: keep the rows on device under the FINAL path
-            cache_key=str(embed_out_path),
-            window_assembly=args.window_assembly,
-        )
-        tmp_out_path.replace(embed_out_path)
-        if profiling:
-            logger.info(
-                f"profile {audio_stem}: "
-                f"{time.perf_counter() - t_file:.2f}s total | "
-                + " ".join(
-                    f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
-                    for k, v in prof.items()
-                )
+            return None  # skip processed inputs
+        waveform = None
+        if args.window_assembly == "device" and getattr(
+            embed_model, "supports_spans", False
+        ):
+            from svecalign_tpu.utils.audio_utils import (
+                SAMPLE_RATE,
+                load_waveform,
             )
+
+            waveform = load_waveform(audio_file, sr=SAMPLE_RATE)
+        return all_segments, waveform, embed_out_path
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(load_inputs, all_inputs[0]) if all_inputs else None
+        for fi, audio_file in enumerate(my_tqdm(all_inputs)):
+            loaded = fut.result()
+            if fi + 1 < len(all_inputs):
+                fut = ex.submit(load_inputs, all_inputs[fi + 1])
+            if loaded is None:
+                continue
+            all_segments, waveform, embed_out_path = loaded
+            audio_stem = Path(audio_file).stem
+            tmp_out_path = out_dir / f"{audio_stem}.tmp.embed"
+
+            prof = None
+            if profiling:
+                from svecalign_tpu.models import laser_encoder
+
+                prof = laser_encoder.start_encode_profile()
+                t_file = time.perf_counter()
+            embed_segments_to_file(
+                embed_model,
+                args.embed_model_type,
+                audio_file,
+                all_segments,
+                str(tmp_out_path),
+                fp16=not embed_fp32,
+                # fused pipeline: keep rows on device under the FINAL path
+                cache_key=str(embed_out_path),
+                window_assembly=args.window_assembly,
+                waveform=waveform,
+            )
+            tmp_out_path.replace(embed_out_path)
+            if profiling:
+                logger.info(
+                    f"profile {audio_stem}: "
+                    f"{time.perf_counter() - t_file:.2f}s total | "
+                    + " ".join(
+                        f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+                        for k, v in prof.items()
+                    )
+                )
     logger.info("Finished!")
 
 

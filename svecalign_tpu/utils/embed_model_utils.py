@@ -153,6 +153,7 @@ def embed_segments_to_file(
     fp16: bool = True,
     cache_key: str = None,
     window_assembly: str = "device",
+    waveform: np.ndarray = None,
 ) -> np.ndarray:
     """Embed all segments of one audio and write the .embed file.
 
@@ -167,6 +168,11 @@ def embed_segments_to_file(
     ``window_assembly="device"``: upload the waveform once and gather the
     overlap windows on device via ``encode_spans`` (see --window_assembly
     help); "host" keeps the round-2 slice-and-stage path.
+
+    ``waveform``: optionally the already-loaded audio (the embed stage
+    prefetches the next file's decode on a worker thread while the
+    current file encodes — the single-core host otherwise serializes
+    ~0.5-3 s of wav decode per file against idle device time).
     """
     from svecalign_tpu.utils import embed_cache
 
@@ -179,7 +185,8 @@ def embed_segments_to_file(
     if window_assembly == "device" and getattr(
         embed_model, "supports_spans", False
     ):
-        waveform = load_waveform(wave_path, sr=SAMPLE_RATE)
+        if waveform is None:
+            waveform = load_waveform(wave_path, sr=SAMPLE_RATE)
         if fused:
             emb, dev = embed_model.encode_spans(
                 waveform, segments, keep_device=True, fp16_pull=fp16

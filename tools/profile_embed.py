@@ -52,6 +52,12 @@ def main():
                          "padding-waste lever in one tunnel window "
                          "(device assembly only). Units: seconds for "
                          "speech_laser, FRAMES for sonar (BUCKET_FRAMES)")
+    ap.add_argument("--ab_fused_chunk", action="store_true", default=False,
+                    help="alternate the fused per-chunk program (window "
+                         "gather + forward + fp16 scatter as ONE "
+                         "executable) against the 3-program split, under "
+                         "keep_device+fp16_pull (the fused-pipeline hot "
+                         "path). Also bit-compares the two modes' rows.")
     ap.add_argument("--model", type=str, default="speech_laser",
                     choices=["speech_laser", "sonar"],
                     help="which encoder to profile (sonar = w2v-BERT "
@@ -70,9 +76,11 @@ def main():
           f"{sum(e - s for s, e in segments) / 16000:.0f} s "
           f"(assembly={args.assembly})", flush=True)
 
-    if sum(map(bool, (args.ab_buckets, args.ab_gc, args.ab_max_tokens))) > 1:
-        ap.error("--ab_buckets / --ab_gc / --ab_max_tokens are mutually "
-                 "exclusive (one A/B variable per run)")
+    if sum(map(bool, (args.ab_buckets, args.ab_gc, args.ab_max_tokens,
+                      args.ab_fused_chunk))) > 1:
+        ap.error("--ab_buckets / --ab_gc / --ab_max_tokens / "
+                 "--ab_fused_chunk are mutually exclusive (one A/B "
+                 "variable per run)")
     modes = {"host": ["host"], "device": ["device"],
              "ab": ["host", "device"]}[args.assembly]
     bucket_sets = None
@@ -86,6 +94,11 @@ def main():
         modes = [f"device/buckets={i}" for i in range(len(bucket_sets))]
     if args.ab_gc:
         modes = ["device/gc=on", "device/gc=off"]
+    if args.ab_fused_chunk:
+        from svecalign_tpu.utils import embed_cache
+
+        embed_cache.enable(rows=max(4096, -(-len(segments) // 1024) * 1024))
+        modes = ["device/chunk=fused", "device/chunk=split"]
     models = None
     if args.ab_max_tokens:
         secs = [int(x) for x in args.ab_max_tokens.split(":")]
@@ -94,6 +107,7 @@ def main():
         modes = [f"device/max_tokens={s}s" for s in secs]
 
     reports = []
+    chunk_ab_rows = {}
     for rep in range(args.reps + 1):  # rep 0 = cold (compiles)
         # alternate within-rep order: the tunnel drifts monotonically over
         # a window, so a fixed order systematically biases the later mode
@@ -128,9 +142,28 @@ def main():
             t0 = time.perf_counter()
             if mode == "host":
                 emb = model.encode(arg)
+            elif mode.startswith("device/chunk="):
+                import os as _os
+
+                _os.environ["SVECALIGN_FUSED_CHUNK"] = (
+                    "1" if mode.endswith("fused") else "0"
+                )
+                emb, _dev = model.encode_spans(
+                    arg, segments, keep_device=True, fp16_pull=True
+                )
             else:
                 emb = model.encode_spans(arg, segments)
             t_enc = time.perf_counter() - t0
+            if args.ab_fused_chunk:
+                prev = chunk_ab_rows.get(rep)
+                if prev is None:
+                    chunk_ab_rows[rep] = np.asarray(emb)
+                else:
+                    same = np.array_equal(prev, np.asarray(emb))
+                    print(f"rep {rep}: fused-vs-split rows "
+                          f"{'BIT-IDENTICAL' if same else 'DIFFER (max '
+                          + repr(float(np.max(np.abs(prev.astype(np.float32) - np.asarray(emb, dtype=np.float32))))) + ')'}",
+                          flush=True)
             rpt = {
                 "rep": rep, "cold": rep == 0, "mode": mode,
                 "ambient_s": round(t_ambient, 3),
