@@ -1,10 +1,14 @@
 """Minimal repro for the TPU worker crash in the batched dense DP.
 
-tools/bisect_grid_fault.py isolated the fault to _batched_dense_dp at
+tools/bisect_grid_fault.py isolated the fault to the batched dense DP at
 (P=16, 256, 256) — gridded hour-bucket shapes — while (16, 209, 204) and
-(16, 129, 129) run fine. This probes a shape grid one SUBPROCESS per
+(16, 129, 129) ran fine. This probes a shape grid one SUBPROCESS per
 shape (a faulting program kills the TPU worker; isolation keeps one
-crash from poisoning the next probe).
+crash from poisoning the next probe). It now exercises the production
+path (_batched_dense_bp: device scan + HOST reassembly) — with the
+on-device (r, c) gathers removed, every historical crash shape passes;
+keep this tool around to re-verify if the reassembly ever moves back on
+device.
 
     python tools/repro_dense_fault.py            # sweep shapes
     python tools/repro_dense_fault.py 16 256 256 # probe one shape
