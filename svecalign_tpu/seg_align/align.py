@@ -349,17 +349,22 @@ def _run_pairs_batched(args, valid_pairs):
     # a short tail bucket would compile its own (P, ...) program family —
     # round it up to the full pair_batch (duplicated pairs' outputs are
     # dropped by the result zip) whenever other buckets exist to share
-    # programs with; a run that fits in one bucket keeps its exact P
+    # programs with; a run that fits in one bucket keeps its exact P.
+    # DEVICE-staged buckets only: stage_rows_device dedups repeated
+    # documents by identity (a padded tail costs id-map bytes + masked
+    # compute), while stage_rows_upload would physically re-quantize and
+    # re-upload the duplicated rows over the ~45 MB/s tunnel — there, a
+    # one-off tail compile is cheaper than paying real bytes every run.
     n_pairs_total = len(loaded) + len(fused_loaded)
     from svecalign_tpu.vecalign.batch import shape_grid_enabled
 
     pad_tail = shape_grid_enabled() and n_pairs_total > pair_batch
 
-    def pad_bucket(bucket):
+    def pad_bucket(bucket, tail_to=None):
         """Repeat the last pair up to the target P (full pair_batch for
-        tail buckets, and/or an even split over the mesh); the duplicates'
-        outputs are dropped by the result zip."""
-        target = pair_batch if pad_tail else len(bucket)
+        device-staged tail buckets, and/or an even split over the mesh);
+        the duplicates' outputs are dropped by the result zip."""
+        target = tail_to if tail_to else len(bucket)
         if sharding is not None:
             n_dev = sharding.mesh.size
             target += -target % n_dev
@@ -373,7 +378,8 @@ def _run_pairs_batched(args, valid_pairs):
 
     def stage_device(bucket):
         return stage_rows_device(
-            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in pad_bucket(bucket)],
+            [(e0, i0, e1, i1) for _, e0, i0, e1, i1 in pad_bucket(
+                bucket, tail_to=pair_batch if pad_tail else None)],
             sharding=sharding,
         )
 

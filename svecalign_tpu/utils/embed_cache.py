@@ -215,3 +215,24 @@ def register_index(path, index) -> None:
 
 def get_index(path):
     return _index_registry.get(_key(path)) if enabled else None
+
+
+def put_from_file(path) -> None:
+    """Load a written stopes-flavor (.npy) .embed file and cache it
+    exactly as the embed stage's device handoff would have: fp16 rows
+    zero-padded to (max_rows, dim) on device, keyed by the final path.
+
+    Tools-only (profilers/bisectors pre-filling the fused handoff without
+    re-running the embed stage — tools/profile_align.py,
+    tools/bisect_grid_fault.py); call :func:`enable` first and size
+    ``max_rows`` via ``pipeline._auto_size_fused_cache`` so the shapes
+    match a production run. SONAR's headerless raw flavor is not
+    supported here (np.load would reject it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rows = np.load(path).astype(np.float16)
+    padded = np.zeros((max_rows, rows.shape[1]), np.float16)
+    padded[: rows.shape[0]] = rows
+    put(path, rows.shape[0], jax.device_put(jnp.asarray(padded)))

@@ -243,3 +243,29 @@ def test_fp16_pull_accumulator_path():
     np.testing.assert_array_equal(
         m.encode_spans(w, SPANS, fp16_pull=True), acc_spans
     )
+
+
+@pytest.mark.parametrize("make", ["laser", "sonar"])
+@pytest.mark.parametrize("dtype", ["int16", "fp32"])
+def test_fused_chunk_program_bit_identical(monkeypatch, make, dtype):
+    """SVECALIGN_FUSED_CHUNK=1 runs each chunk's window gather + forward +
+    fp16 scatter as ONE program (encode_common._get_fused_chunk); its
+    accumulator rows must be bit-identical to the split 3-program path."""
+    from svecalign_tpu.utils import embed_cache
+
+    if make == "laser":
+        m = _laser(dtype)
+        spans = SPANS
+    else:
+        m = _sonar(dtype)
+        spans = SPANS
+    w = _wave()
+    monkeypatch.setattr(embed_cache, "enabled", True)
+
+    monkeypatch.setenv("SVECALIGN_FUSED_CHUNK", "0")
+    split, dev_s = m.encode_spans(w, spans, keep_device=True, fp16_pull=True)
+    monkeypatch.setenv("SVECALIGN_FUSED_CHUNK", "1")
+    fused, dev_f = m.encode_spans(w, spans, keep_device=True, fp16_pull=True)
+
+    assert dev_s is not None and dev_f is not None
+    np.testing.assert_array_equal(split, fused)

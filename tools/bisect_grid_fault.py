@@ -60,12 +60,10 @@ def main() -> None:
         ign_indices_dir=mined / "untrans_cat_seg_ids" / "en-de",
     )
 
-    largest = 0
-    for lang in ("en", "de"):
-        for txt in (mined / "cat_segs" / lang).glob("*.txt"):
-            with open(txt, "rb") as fp:
-                largest = max(largest, sum(1 for _ in fp))
-    embed_cache.enable(rows=max(4096, -(-largest // 1024) * 1024))
+    from svecalign_tpu.pipeline import _auto_size_fused_cache
+
+    embed_cache.enable()
+    _auto_size_fused_cache(mined / "cat_segs", ("en", "de"))
 
     items = []
     for p in valid:
@@ -76,15 +74,11 @@ def main() -> None:
             (p.tgt_seg_path, p.tgt_concat_path, p.tgt_embed_path,
              p.tgt_ignore_indices),
         ):
-            rows = np.load(embed_path).astype(np.float16)
-            padded = np.zeros((embed_cache.max_rows, rows.shape[1]),
-                              np.float16)
-            padded[: rows.shape[0]] = rows
-            dev = jax.device_put(jnp.asarray(padded))
-            embed_cache.put(embed_path, rows.shape[0], dev)
+            embed_cache.put_from_file(embed_path)
+            rows_n, dev = embed_cache.get(embed_path)
             lines = open(seg_path, encoding="utf-8").readlines()
             ids = make_doc_ids(
-                read_sent2id(concat_path), rows.shape[0], lines, 5,
+                read_sent2id(concat_path), rows_n, lines, 5,
                 ignore_indices=load_ignore_index_file(ign) if ign else None,
                 overlap_segments=True,
             )

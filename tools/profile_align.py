@@ -71,29 +71,16 @@ def main() -> None:
         sys.exit(1)
 
     if args.fused:
-        # mirror pipeline._auto_size_fused_cache + the embed stage's
-        # device-resident handoff: (max_rows, d) fp16 rows per document
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
+        # production sizing rule + the embed stage's device handoff format
+        from svecalign_tpu.pipeline import _auto_size_fused_cache
         from svecalign_tpu.utils import embed_cache
 
-        largest = 0
-        for lang in ("en", "de"):
-            for txt in (mined / "cat_segs" / lang).glob("*.txt"):
-                with open(txt, "rb") as fp:
-                    largest = max(largest, sum(1 for _ in fp))
-        embed_cache.enable(rows=max(4096, -(-largest // 1024) * 1024))
+        embed_cache.enable()
+        _auto_size_fused_cache(mined / "cat_segs", ("en", "de"))
         t0 = time.perf_counter()
         for p in valid:
             for path in (p.src_embed_path, p.tgt_embed_path):
-                rows = np.load(path).astype(np.float16)
-                padded = np.zeros((embed_cache.max_rows, rows.shape[1]),
-                                  np.float16)
-                padded[: rows.shape[0]] = rows
-                embed_cache.put(path, rows.shape[0], jax.device_put(
-                    jnp.asarray(padded)))
+                embed_cache.put_from_file(path)
         cache_fill_s = round(time.perf_counter() - t0, 2)
     else:
         cache_fill_s = None

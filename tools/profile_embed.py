@@ -97,6 +97,12 @@ def main():
     if args.ab_fused_chunk:
         from svecalign_tpu.utils import embed_cache
 
+        if getattr(model, "_span_forward_pure", lambda: None)() is None:
+            ap.error(
+                "--ab_fused_chunk: this encoder cannot inline its forward "
+                "(mesh-sharded pjit path, or no _span_forward_pure hook) — "
+                "both A/B arms would silently run the split path"
+            )
         embed_cache.enable(rows=max(4096, -(-len(segments) // 1024) * 1024))
         modes = ["device/chunk=fused", "device/chunk=split"]
     models = None
