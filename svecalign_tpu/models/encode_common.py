@@ -150,6 +150,42 @@ def _cast_fp16(emb: jax.Array) -> jax.Array:
 class SpanEncoderMixin:
     """encode_spans() for models exposing the hook set described above."""
 
+    def prewarm_span_programs(self) -> None:
+        """Fire-and-forget: first-call every (bucket, rows) span forward
+        from daemon threads so the axon compile service overlaps the
+        compiles (measured 1.4x on the 7-bucket LASER set: 121.8 s
+        serial -> 86.8 s concurrent, tools/ablate_compile_parallel.py)
+        while the caller's first file loads/encodes. The encode loop's
+        own first call per bucket then waits on the in-flight compile
+        instead of starting it serially. Zero batches are real forward
+        executions (~15 ms device each) whose outputs are dropped.
+
+        SVECALIGN_PREWARM_COMPILES=0 disables. Callers should skip tiny
+        corpora (the embed stage gates on >= 4 files): the threads are
+        daemonic, and an interpreter exiting mid-compile can log noisy
+        RPC teardown errors."""
+        if os.environ.get("SVECALIGN_PREWARM_COMPILES", "1") == "0":
+            return
+        import threading
+
+        fp32 = self.upload_dtype == "fp32"
+
+        def touch(bucket):
+            try:
+                rows = self._rows_per_chunk(bucket)
+                width = self._bucket_width(bucket)
+                wav = jnp.zeros(
+                    (rows, width), jnp.float32 if fp32 else jnp.int16
+                )
+                scales = jnp.ones((rows,), jnp.float32)
+                lengths = jnp.full((rows,), bucket, jnp.int32)
+                np.asarray(self._span_forward(wav, scales, lengths, bucket))
+            except Exception as e:  # pragma: no cover - diagnostics only
+                logger.warning(f"prewarm bucket {bucket}: {e}")
+
+        for b in self._span_buckets():
+            threading.Thread(target=touch, args=(b,), daemon=True).start()
+
     def _get_fused_chunk(self, width: int, fp32: bool, bucket):
         """One jitted program per (width, fp32, bucket): window gather +
         span forward + fp16 scatter into the DONATED accumulator. None

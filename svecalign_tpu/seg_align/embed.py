@@ -114,6 +114,13 @@ def main():
             waveform = load_waveform(audio_file, sr=SAMPLE_RATE)
         return all_segments, waveform, embed_out_path
 
+    # overlap the cold per-bucket forward compiles with the first files'
+    # host work + encodes (1.4x on the compile bill — encode_common
+    # .prewarm_span_programs); skipped for tiny corpora where daemon
+    # threads could outlive the process mid-compile
+    if len(all_inputs) >= 4 and hasattr(embed_model, "prewarm_span_programs"):
+        embed_model.prewarm_span_programs()
+
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(1) as ex:
