@@ -7,6 +7,8 @@ different points: per-window host-side vs per-block + per-row re-quantize
 device-side).
 """
 
+import time
+
 import numpy as np
 import pytest
 
@@ -269,3 +271,24 @@ def test_fused_chunk_program_bit_identical(monkeypatch, make, dtype):
 
     assert dev_s is not None and dev_f is not None
     np.testing.assert_array_equal(split, fused)
+
+
+@pytest.mark.parametrize("make", ["laser", "sonar"])
+def test_prewarm_span_programs_runs_and_changes_nothing(make):
+    """prewarm_span_programs fire-and-forgets one zero-batch per bucket
+    (daemon threads); it must execute cleanly for both encoders' hook
+    signatures and leave encode_spans results untouched."""
+    import threading
+
+    m = _laser("int16") if make == "laser" else _sonar("int16")
+    w = _wave()
+    before = m.encode_spans(w, SPANS[:3])
+    n0 = threading.active_count()
+    m.prewarm_span_programs()
+    # wait for the daemon threads so a hook-signature error would surface
+    # in the warning log (and so the comparison below runs post-prewarm)
+    deadline = time.time() + 120
+    while threading.active_count() > n0 and time.time() < deadline:
+        time.sleep(0.1)
+    after = m.encode_spans(w, SPANS[:3])
+    np.testing.assert_array_equal(before, after)
