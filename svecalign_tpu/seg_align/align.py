@@ -11,11 +11,10 @@ CLI: ``python -m svecalign_tpu.seg_align.align METADATA OUT_DIR --src_lang S
 """
 
 import argparse
-import dataclasses
 import os
 import time
 from pathlib import Path
-from typing import List, Optional, Tuple, Union
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 from svecalign_tpu.utils.file_utils import check_exist, read_metadata
 from svecalign_tpu.utils.log_utils import logging, my_tqdm
@@ -87,77 +86,70 @@ def parse_args():
     return parser.parse_args()
 
 
-@dataclasses.dataclass
-class VecalignData:
-    src_seg_path: str
-    tgt_seg_path: str
-    src_concat_path: str
-    tgt_concat_path: str
-    src_embed_path: str
-    tgt_embed_path: str
-    output_path: str
-    src_ignore_indices: Optional[Union[str, Path]] = None
-    tgt_ignore_indices: Optional[Union[str, Path]] = None
+class PairTask(NamedTuple):
+    """Resolved per-document-pair file paths, index 0 = src / 1 = tgt.
+
+    Each input field holds one path per side; ``ignores`` entries are
+    ``None`` when no untranslated-concat id file exists for that side.
+    """
+
+    segs: Tuple[str, str]
+    concats: Tuple[str, str]
+    embeds: Tuple[str, str]
+    ignores: Tuple[Optional[str], Optional[str]]
+    out_path: str
 
 
-def validate_inputs(
-    audio_pairs: List[Tuple[str, str]],
-    src_seg_dir: Path,
-    tgt_seg_dir: Path,
-    src_concat_dir: Path,
-    tgt_concat_dir: Path,
-    src_embed_dir: Path,
-    tgt_embed_dir: Path,
+# input kinds a pair needs before it can be aligned: field name -> suffix
+_PAIR_INPUTS = (("segs", ".txt"), ("concats", ".txt"), ("embeds", ".embed"))
+
+
+def collect_pair_tasks(
+    audio_pairs: Sequence[Tuple[str, str]],
+    dirs: Dict[str, Tuple[Path, Path]],
     out_dir: Path,
     ign_indices_dir: Optional[Path] = None,
-) -> List[VecalignData]:
-    """Check that every required per-pair input exists; pack path bundles."""
-    res = []
-    for src_audio, tgt_audio in audio_pairs:
-        src_name = Path(src_audio).name
-        tgt_name = Path(tgt_audio).name
-        src_stem = Path(src_audio).stem
-        tgt_stem = Path(tgt_audio).stem
+) -> List[PairTask]:
+    """Resolve each metadata pair's stage inputs into a :class:`PairTask`.
 
-        src_seg_path = (src_seg_dir / src_name).with_suffix(".txt")
-        tgt_seg_path = (tgt_seg_dir / tgt_name).with_suffix(".txt")
-        if not check_exist(src_seg_path) or not check_exist(tgt_seg_path):
+    ``dirs`` maps each input kind of ``_PAIR_INPUTS`` to its (src, tgt)
+    directory pair. Pairs missing any required file are dropped (with a
+    warning via ``check_exist``); ignore-index files are optional.
+    """
+    tasks = []
+    for audio in audio_pairs:
+        names = tuple(Path(a).name for a in audio)
+        stems = tuple(Path(a).stem for a in audio)
+        found = {
+            kind: tuple(
+                (d / n).with_suffix(suffix)
+                for d, n in zip(dirs[kind], names)
+            )
+            for kind, suffix in _PAIR_INPUTS
+        }
+        if not all(check_exist(p) for kind, _ in _PAIR_INPUTS for p in found[kind]):
             continue
 
-        src_concat_path = (src_concat_dir / src_name).with_suffix(".txt")
-        tgt_concat_path = (tgt_concat_dir / tgt_name).with_suffix(".txt")
-        if not check_exist(src_concat_path) or not check_exist(tgt_concat_path):
-            continue
+        ignores: Tuple[Optional[str], Optional[str]] = (None, None)
+        if ign_indices_dir is not None:
+            cand = [
+                ign_indices_dir / f"{stems[0]}-{stems[1]}.{side}.txt"
+                for side in ("src", "tgt")
+            ]
+            ignores = tuple(
+                p.as_posix() if check_exist(p) else None for p in cand
+            )
 
-        src_embed_path = (src_embed_dir / src_name).with_suffix(".embed")
-        tgt_embed_path = (tgt_embed_dir / tgt_name).with_suffix(".embed")
-        if not check_exist(src_embed_path) or not check_exist(tgt_embed_path):
-            continue
-
-        if ign_indices_dir is None:
-            src_ign = tgt_ign = None
-        else:
-            src_ign = ign_indices_dir / f"{src_stem}-{tgt_stem}.src.txt"
-            tgt_ign = ign_indices_dir / f"{src_stem}-{tgt_stem}.tgt.txt"
-            if not check_exist(src_ign):
-                src_ign = None
-            if not check_exist(tgt_ign):
-                tgt_ign = None
-
-        res.append(
-            VecalignData(
-                src_seg_path=src_seg_path.as_posix(),
-                tgt_seg_path=tgt_seg_path.as_posix(),
-                src_concat_path=src_concat_path.as_posix(),
-                tgt_concat_path=tgt_concat_path.as_posix(),
-                src_embed_path=src_embed_path.as_posix(),
-                tgt_embed_path=tgt_embed_path.as_posix(),
-                output_path=(out_dir / f"{src_stem}-{tgt_stem}.txt").as_posix(),
-                src_ignore_indices=src_ign,
-                tgt_ignore_indices=tgt_ign,
+        tasks.append(
+            PairTask(
+                segs=tuple(p.as_posix() for p in found["segs"]),
+                concats=tuple(p.as_posix() for p in found["concats"]),
+                embeds=tuple(p.as_posix() for p in found["embeds"]),
+                ignores=ignores,
+                out_path=(out_dir / f"{stems[0]}-{stems[1]}.txt").as_posix(),
             )
         )
-    return res
+    return tasks
 
 
 def main():
@@ -175,14 +167,13 @@ def main():
         logger.info(f"Will ignore segments indicated by {ign_indices_dir}")
 
     all_pairs = read_metadata(args.metadata)
-    valid_pairs = validate_inputs(
+    valid_pairs = collect_pair_tasks(
         all_pairs,
-        Path(args.seg_dir) / src_lang,
-        Path(args.seg_dir) / tgt_lang,
-        Path(args.concat_dir) / src_lang,
-        Path(args.concat_dir) / tgt_lang,
-        Path(args.embed_dir) / src_lang,
-        Path(args.embed_dir) / tgt_lang,
+        {
+            "segs": (Path(args.seg_dir) / src_lang, Path(args.seg_dir) / tgt_lang),
+            "concats": (Path(args.concat_dir) / src_lang, Path(args.concat_dir) / tgt_lang),
+            "embeds": (Path(args.embed_dir) / src_lang, Path(args.embed_dir) / tgt_lang),
+        },
         out_dir,
         ign_indices_dir,
     )
@@ -254,46 +245,39 @@ def _run_pairs_batched(args, valid_pairs):
     loaded = []        # file-backed pairs: fp16 rows re-uploaded per bucket
     fused_loaded = []  # fused-pipeline pairs: rows already on device
     for pair in valid_pairs:
-        src_lines = open(pair.src_seg_path, encoding="utf-8").readlines()
-        tgt_lines = open(pair.tgt_seg_path, encoding="utf-8").readlines()
+        seg_lines = [open(p, encoding="utf-8").readlines() for p in pair.segs]
 
-        cached0 = embed_cache.get(pair.src_embed_path)
-        cached1 = embed_cache.get(pair.tgt_embed_path)
-        if cached0 is not None and cached1 is not None:
+        cached = [embed_cache.get(p) for p in pair.embeds]
+        if all(c is not None for c in cached):
             # fused pipeline (utils/embed_cache.py): the embed stage left
             # the rows on device — no file read, no re-upload
-            s2i = read_sent2id(pair.src_concat_path)
-            t2i = read_sent2id(pair.tgt_concat_path)
-            n_rows0, emb0 = cached0
-            n_rows1, emb1 = cached1
+            sent2id = [read_sent2id(p) for p in pair.concats]
+            n_rows = [c[0] for c in cached]
+            embs = [c[1] for c in cached]
         else:
-            s2i, emb0 = read_in_embeddings(
-                pair.src_concat_path, pair.src_embed_path,
-                args.is_stopes_embed, args.fp16_embed,
-            )
-            t2i, emb1 = read_in_embeddings(
-                pair.tgt_concat_path, pair.tgt_embed_path,
-                args.is_stopes_embed, args.fp16_embed,
-            )
-            n_rows0, n_rows1 = emb0.shape[0], emb1.shape[0]
-            emb0 = emb0.astype(np.float16)
-            emb1 = emb1.astype(np.float16)
+            cached = None
+            sent2id, embs = [], []
+            for concat_p, embed_p in zip(pair.concats, pair.embeds):
+                s2i, emb = read_in_embeddings(
+                    concat_p, embed_p, args.is_stopes_embed, args.fp16_embed,
+                )
+                sent2id.append(s2i)
+                embs.append(emb.astype(np.float16))
+            n_rows = [e.shape[0] for e in embs]
         # raw fp16 rows + index maps: the overlap tensor is gathered on
         # device (uploading it materialized repeats every row ~n_overlaps x)
-        ids0 = make_doc_ids(
-            s2i, n_rows0, src_lines, args.alignment_max_size - 1,
-            ignore_indices=load_ignore_index_file(pair.src_ignore_indices)
-            if pair.src_ignore_indices else None,
-            overlap_segments=True,
-        )
-        ids1 = make_doc_ids(
-            t2i, n_rows1, tgt_lines, args.alignment_max_size - 1,
-            ignore_indices=load_ignore_index_file(pair.tgt_ignore_indices)
-            if pair.tgt_ignore_indices else None,
-            overlap_segments=True,
-        )
-        item = (pair, emb0, ids0, emb1, ids1)
-        (fused_loaded if cached0 is not None and cached1 is not None else loaded).append(item)
+        ids = [
+            make_doc_ids(
+                sent2id[side], n_rows[side], seg_lines[side],
+                args.alignment_max_size - 1,
+                ignore_indices=load_ignore_index_file(pair.ignores[side])
+                if pair.ignores[side] else None,
+                overlap_segments=True,
+            )
+            for side in (0, 1)
+        ]
+        item = (pair, embs[0], ids[0], embs[1], ids[1])
+        (fused_loaded if cached is not None else loaded).append(item)
     prof["load"] = time.perf_counter() - t_phase
 
     kwargs = dict(
@@ -317,7 +301,7 @@ def _run_pairs_batched(args, valid_pairs):
         # SHOULD be cache-resident — a fallback means the document exceeded
         # the cache cap, the HBM byte cap rejected it, or a resume run
         # skipped the embed stage (cache never filled)
-        names = ", ".join(Path(p.src_embed_path).stem for p, *_ in loaded[:5])
+        names = ", ".join(Path(p.embeds[0]).stem for p, *_ in loaded[:5])
         logger.warning(
             f"fused handoff MISSED {len(loaded)} pair(s) — falling back to "
             f"the file+upload path for: {names}"
@@ -409,7 +393,7 @@ def _run_pairs_batched(args, valid_pairs):
             results = run_staged(handle, **kwargs)
             t2 = time.perf_counter()
             for (pair, *_), (aligns, scores) in zip(bucket, results):
-                with open(pair.output_path, mode="w") as fp:
+                with open(pair.out_path, mode="w") as fp:
                     print_alignments(aligns, scores=scores, ofile=fp)
             t3 = time.perf_counter()
             prof["stage"] += t1 - t0
@@ -435,12 +419,12 @@ def _run_pairs_batched(args, valid_pairs):
 def _run_pairs(args, valid_pairs):
     for pair in my_tqdm(valid_pairs):
         vecalign_func(
-            src=pair.src_seg_path,
-            tgt=pair.tgt_seg_path,
-            src_embed=[pair.src_concat_path, pair.src_embed_path],
+            src=pair.segs[0],
+            tgt=pair.segs[1],
+            src_embed=[pair.concats[0], pair.embeds[0]],
             src_stopes=args.is_stopes_embed,
             src_fp16=args.fp16_embed,
-            tgt_embed=[pair.tgt_concat_path, pair.tgt_embed_path],
+            tgt_embed=[pair.concats[1], pair.embeds[1]],
             tgt_stopes=args.is_stopes_embed,
             tgt_fp16=args.fp16_embed,
             alignment_max_size=args.alignment_max_size,
@@ -453,10 +437,10 @@ def _run_pairs(args, valid_pairs):
             overlap_segments=True,
             print_aligned_text=False,
             print_results=True,
-            save_aligned_text_to_file=pair.output_path,
+            save_aligned_text_to_file=pair.out_path,
             verbose=False,
-            src_ignore_indices=pair.src_ignore_indices,
-            tgt_ignore_indices=pair.tgt_ignore_indices,
+            src_ignore_indices=pair.ignores[0],
+            tgt_ignore_indices=pair.ignores[1],
             seed=args.seed,
             dp_backend=args.dp_backend,
         )

@@ -478,28 +478,64 @@ per-refinement-level band-offset uploads. bench.py reports bytes-per-pair
 from this."""
 
 
-def shape_grid_enabled() -> bool:
-    """Padded-shape bucketing (default on; SVECALIGN_SHAPE_GRID=0 reverts
-    to exact bucket-max padding).
+def shape_grid_mode() -> str:
+    """Padded-shape bucketing mode (SVECALIGN_SHAPE_GRID env var).
 
     Every jitted stage keys on the bucket's padded dims, and on axon a
     fresh program set costs ~20 s to compile — measured: a 32-pair
     rehearsal corpus split into two buckets paid two full compile bills
     (tools/profile_align.py: 46 s cold vs 1.1 s warm for the same work).
-    Rounding the padded doc dims up to powers of two (floor 64) and
+    Rounding the padded doc dims up to a coarse grid (floor 64) and
     deriving the band length from the padded dims (instead of the
     data-dependent longest search path) collapses same-class buckets onto
     one compiled program family. All batched compute is masked by the
     per-pair true sizes, so extra padding never changes valid cells; the
     one semantic shift is that pyramid depth follows the gridded dims, so
     a pair's level count depends on its size class rather than on its
-    bucket-mates' exact sizes (arguably more reproducible than before)."""
-    return os.environ.get("SVECALIGN_SHAPE_GRID", "1") != "0"
+    bucket-mates' exact sizes (arguably more reproducible than before).
+
+    Modes (round-5 A/B, tools/ablate_grid.py — the pow2 grid cost the
+    fused headline ~1.27x padded cells at example size):
+
+    - ``"0"`` / ``"off"``: exact bucket-max padding (round-3 behavior);
+    - ``"pow2"``: next power of two (round-4 default; <=2x cell inflation,
+      1 compile class per octave);
+    - ``"quarter"``: next multiple of pow2/8 — 4 grid points per octave
+      ({0.625, 0.75, 0.875, 1}x pow2; <=1.25x worst-case inflation per
+      dim, ~1.11x mean);
+    - ``"eighth"``: next multiple of pow2/16 — 8 points per octave
+      (<=1.125x worst-case per dim, ~1.055x mean);
+    - ``"1"``: the default mode (currently ``eighth``).
+
+    Measured (tools/ablate_grid.py, 2026-08-19, example pair at fused
+    batch 64, 12 interleaved reps): median paired ratio vs off = pow2
+    1.18x / quarter 1.13x / eighth 1.01x — tracking the padded-cell
+    arithmetic (1.27 / 1.12 / 1.05). Eighth keeps the compile-key win
+    (size-sorted buckets cluster onto few classes) at compute parity
+    with exact padding, recovering the round-2 fused headline the pow2
+    grid had cost.
+    """
+    v = os.environ.get("SVECALIGN_SHAPE_GRID", "1")
+    if v in ("0", "off"):
+        return "off"
+    if v == "1":
+        return "eighth"
+    return v
+
+
+def shape_grid_enabled() -> bool:
+    return shape_grid_mode() != "off"
 
 
 def _grid_dim(n: int, floor: int = 64) -> int:
-    """Next power of two >= max(n, floor)."""
-    return 1 << (max(int(n), floor) - 1).bit_length()
+    """Round up to the active grid (see :func:`shape_grid_mode`)."""
+    n = max(int(n), floor)
+    p = 1 << (n - 1).bit_length()  # next pow2 >= n
+    mode = shape_grid_mode()
+    if mode == "pow2":
+        return p
+    step = p // (8 if mode == "quarter" else 16)
+    return -(-n // step) * step
 
 
 def _grid_rows(r: int) -> int:

@@ -42,125 +42,118 @@ def make_many_to_one_alignment_types(max_alignment_size: int) -> List[Tuple[int,
 
 
 def print_alignments(alignments, scores=None, src_lines=None, tgt_lines=None, ofile=sys.stdout):
-    if scores is None:
-        scores = [None for _ in alignments]
-    for (x, y), s in zip(alignments, scores):
-        if s is None:
-            print(f"{x}:{y}", file=ofile)
-        else:
-            print("%s:%s:%.6f" % (x, y, s), file=ofile)
+    """Emit ``[x ids]:[y ids]`` lines (``:cost`` appended when scores are
+    given; 6 decimals — the stage-file contract), optionally followed by
+    the aligned text for human inspection."""
+    for idx, (x, y) in enumerate(alignments):
+        tail = "" if scores is None else ":%.6f" % scores[idx]
+        print(f"{x}:{y}{tail}", file=ofile)
         if src_lines is not None and tgt_lines is not None:
-            print(" " * 40, "SRC: ", " ".join(src_lines[i].replace("\n", " ").strip() for i in x), file=ofile)
-            print(" " * 40, "TGT: ", " ".join(tgt_lines[j].replace("\n", " ").strip() for j in y), file=ofile)
+            for tag, lines, ids in (("SRC: ", src_lines, x), ("TGT: ", tgt_lines, y)):
+                text = " ".join(lines[i].replace("\n", " ").strip() for i in ids)
+                print(" " * 40, tag, text, file=ofile)
 
 
 def load_ignore_index_file(path: Union[str, Path]) -> Set[Tuple[int, int]]:
-    res: Set[Tuple[int, int]] = set()
-    with open(path) as fp:
-        for line in fp:
-            i, j = line.strip().split(" ")
-            item = (int(i), int(j))
-            assert item not in res, f"{path}, {item}"
-            res.add(item)
-    return res
+    """Parse an untranslated-concat id file (``"i j"`` per line, produced
+    by detect_untranslate_concats) into a set of (i, j) tuples; duplicate
+    lines indicate a corrupt file and raise."""
+    with open(path, encoding="utf-8") as fp:
+        entries = [
+            tuple(int(tok) for tok in line.split())
+            for line in fp
+            if line.strip()
+        ]
+    if len(entries) != len(set(entries)):
+        seen: Set[Tuple[int, int]] = set()
+        dupes = {e for e in entries if e in seen or seen.add(e)}
+        raise ValueError(f"{path}: duplicate ignore entries {sorted(dupes)}")
+    return set(entries)
 
 
 def align(
-    src: str,
-    tgt: str,
-    src_embed: List[str],
-    src_stopes: bool,
-    tgt_stopes: bool,
-    tgt_embed: List[str],
-    alignment_max_size: int,
-    many_to_one: Optional[int],
-    search_buffer_size: int,
-    del_percentile_frac: float,
-    max_size_full_dp: int,
-    costs_sample_size: int,
-    num_samps_for_norm: int,
-    overlap_segments: bool,
-    print_aligned_text: bool,
-    src_fp16: bool = False,
-    tgt_fp16: bool = False,
+    # per-side inputs: segment files, [concat_txt, embed_bin] path pairs,
+    # embedding storage flavor flags, optional untranslated-id files
+    src: str, tgt: str,
+    src_embed: List[str], src_stopes: bool,
+    tgt_stopes: bool, tgt_embed: List[str],
+    alignment_max_size: int, many_to_one: Optional[int],
+    # aligner knobs (reference defaults: buffer 5, -d 0.2, cap 300,
+    # 20000 cost samples, 100 norm samples)
+    search_buffer_size: int, del_percentile_frac: float,
+    max_size_full_dp: int, costs_sample_size: int, num_samps_for_norm: int,
+    overlap_segments: bool, print_aligned_text: bool,
+    src_fp16: bool = False, tgt_fp16: bool = False,
     src_ignore_indices: Optional[Union[str, Path]] = None,
     tgt_ignore_indices: Optional[Union[str, Path]] = None,
-    verbose: bool = False,
-    debug_save_stack: Optional[str] = None,
-    gold_alignment: Optional[str] = None,
-    print_results: bool = False,
+    # output / debug switches
+    verbose: bool = False, debug_save_stack: Optional[str] = None,
+    gold_alignment: Optional[str] = None, print_results: bool = False,
     save_aligned_text_to_file: Optional[str] = None,
-    seed: int = 42,
-    dp_backend: str = "auto",
+    # TPU-rebuild extensions (not in the reference CLI)
+    seed: int = 42, dp_backend: str = "auto",
 ):
     """Align a single pair of documents. Returns the DP stack."""
     if verbose:
         logger.setLevel(logging.DEBUG)
 
     if alignment_max_size < 2:
-        logger.warning(
-            "Alignment_max_size < 2. Increasing to 2 so that 1-1 alignments "
-            "will be considered"
-        )
+        logger.warning("clamping alignment_max_size to 2 (1-1 alignments)")
         alignment_max_size = 2
 
-    src_max_alignment_size = many_to_one if many_to_one is not None else alignment_max_size - 1
-    tgt_max_alignment_size = 1 if many_to_one is not None else alignment_max_size - 1
-
+    # per-side overlap depth: symmetric a-1 normally; M:1 caps the target
+    # side at single segments
     if many_to_one is not None:
         final_alignment_types = make_many_to_one_alignment_types(many_to_one)
+        max_sizes = (many_to_one, 1)
     else:
         final_alignment_types = make_alignment_types(alignment_max_size)
+        max_sizes = (alignment_max_size - 1,) * 2
     logger.debug("Considering alignment types %s", final_alignment_types)
 
-    width_over2 = math.ceil(max(src_max_alignment_size, tgt_max_alignment_size) / 2.0) + search_buffer_size
-
-    src_sent2id, src_embeddings = read_in_embeddings(src_embed[0], src_embed[1], src_stopes, src_fp16)
-    tgt_sent2id, tgt_embeddings = read_in_embeddings(tgt_embed[0], tgt_embed[1], tgt_stopes, tgt_fp16)
-
-    # build the overlap tensors in fp16 (halved upload; the pyramid upcasts
-    # on device). SpeechLASER .embed files are fp16 at the source anyway;
-    # for fp32 sources the DP cost precision is dominated by the 1e-5
-    # normalization epsilon, not the mantissa.
-    import numpy as _np
-
-    doc_dtype = _np.float16
+    width_over2 = math.ceil(max(max_sizes) / 2.0) + search_buffer_size
 
     logger.info(f"Aligning src={src} to tgt={tgt}")
 
-    src_lines = open(src, "rt", encoding="utf-8").readlines()
-    src_vectors = make_doc_embedding(
-        src_sent2id,
-        src_embeddings,
-        src_lines,
-        src_max_alignment_size,
-        ignore_indices=load_ignore_index_file(src_ignore_indices) if src_ignore_indices else None,
-        overlap_segments=overlap_segments,
-        dtype=doc_dtype,
-    )
+    # build both sides' overlap tensors in fp16 (halved upload; the pyramid
+    # upcasts on device). SpeechLASER .embed files are fp16 at the source
+    # anyway; for fp32 sources the DP cost precision is dominated by the
+    # 1e-5 normalization epsilon, not the mantissa.
+    import numpy as _np
 
-    tgt_lines = open(tgt, "rt", encoding="utf-8").readlines()
-    tgt_vectors = make_doc_embedding(
-        tgt_sent2id,
-        tgt_embeddings,
-        tgt_lines,
-        tgt_max_alignment_size,
-        ignore_indices=load_ignore_index_file(tgt_ignore_indices) if tgt_ignore_indices else None,
-        overlap_segments=overlap_segments,
-        dtype=doc_dtype,
-    )
+    doc_lines, doc_tensors = [], []
+    for (txt_path, bin_path), seg_path, is_stopes, is_fp16, ign_path, max_size in zip(
+        (src_embed, tgt_embed),
+        (src, tgt),
+        (src_stopes, tgt_stopes),
+        (src_fp16, tgt_fp16),
+        (src_ignore_indices, tgt_ignore_indices),
+        max_sizes,
+    ):
+        sent2id, rows = read_in_embeddings(txt_path, bin_path, is_stopes, is_fp16)
+        lines = open(seg_path, "rt", encoding="utf-8").readlines()
+        doc_lines.append(lines)
+        doc_tensors.append(
+            make_doc_embedding(
+                sent2id,
+                rows,
+                lines,
+                max_size,
+                ignore_indices=load_ignore_index_file(ign_path) if ign_path else None,
+                overlap_segments=overlap_segments,
+                dtype=_np.float16,
+            )
+        )
+    src_lines, tgt_lines = doc_lines
 
     stack = vecalign(
-        vecs0=src_vectors,
-        vecs1=tgt_vectors,
+        vecs0=doc_tensors[0], vecs1=doc_tensors[1],
         final_alignment_types=final_alignment_types,
-        del_percentile_frac=del_percentile_frac,
-        width_over2=width_over2,
+        del_percentile_frac=del_percentile_frac, width_over2=width_over2,
         max_size_full_dp=max_size_full_dp,
         costs_sample_size=costs_sample_size,
         num_samps_for_norm=num_samps_for_norm,
-        seed=seed,
-        dp_backend=dp_backend,
+        seed=seed, dp_backend=dp_backend,
     )
 
     if print_results:

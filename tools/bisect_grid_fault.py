@@ -51,11 +51,13 @@ def main() -> None:
     corpus = Path(args.corpus)
     mined = corpus / "mined"
     pairs = read_metadata((corpus / "metadata.tsv").as_posix())
-    valid = align_mod.validate_inputs(
+    valid = align_mod.collect_pair_tasks(
         pairs,
-        mined / "segments" / "en", mined / "segments" / "de",
-        mined / "cat_segs" / "en", mined / "cat_segs" / "de",
-        mined / "embeds" / "en", mined / "embeds" / "de",
+        {
+            "segs": (mined / "segments" / "en", mined / "segments" / "de"),
+            "concats": (mined / "cat_segs" / "en", mined / "cat_segs" / "de"),
+            "embeds": (mined / "embeds" / "en", mined / "embeds" / "de"),
+        },
         Path("/tmp/bisect_out"),
         ign_indices_dir=mined / "untrans_cat_seg_ids" / "en-de",
     )
@@ -68,11 +70,8 @@ def main() -> None:
     items = []
     for p in valid:
         entry = []
-        for seg_path, concat_path, embed_path, ign in (
-            (p.src_seg_path, p.src_concat_path, p.src_embed_path,
-             p.src_ignore_indices),
-            (p.tgt_seg_path, p.tgt_concat_path, p.tgt_embed_path,
-             p.tgt_ignore_indices),
+        for seg_path, concat_path, embed_path, ign in zip(
+            p.segs, p.concats, p.embeds, p.ignores
         ):
             embed_cache.put_from_file(embed_path)
             rows_n, dev = embed_cache.get(embed_path)

@@ -58,11 +58,13 @@ def main() -> None:
     from svecalign_tpu.vecalign import batch as batch_mod
 
     pairs = read_metadata((corpus / "metadata.tsv").as_posix())
-    valid = align_mod.validate_inputs(
+    valid = align_mod.collect_pair_tasks(
         pairs,
-        mined / "segments" / "en", mined / "segments" / "de",
-        mined / "cat_segs" / "en", mined / "cat_segs" / "de",
-        mined / "embeds" / "en", mined / "embeds" / "de",
+        {
+            "segs": (mined / "segments" / "en", mined / "segments" / "de"),
+            "concats": (mined / "cat_segs" / "en", mined / "cat_segs" / "de"),
+            "embeds": (mined / "embeds" / "en", mined / "embeds" / "de"),
+        },
         out_dir,
         ign_indices_dir=mined / "untrans_cat_seg_ids" / "en-de",
     )
@@ -79,7 +81,7 @@ def main() -> None:
         _auto_size_fused_cache(mined / "cat_segs", ("en", "de"))
         t0 = time.perf_counter()
         for p in valid:
-            for path in (p.src_embed_path, p.tgt_embed_path):
+            for path in p.embeds:
                 embed_cache.put_from_file(path)
         cache_fill_s = round(time.perf_counter() - t0, 2)
     else:
