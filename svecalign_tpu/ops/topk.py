@@ -113,6 +113,19 @@ def _search_dense_tiled(queries: Array, corpus: Array, corpus_sq: Array, k: int,
     return best_d, best_i
 
 
+def _pad_to_k(d2: np.ndarray, idx: np.ndarray, k: int):
+    """Pad search results out to (nq, k): faiss IndexFlatL2 always returns
+    k columns, with missing neighbors as +inf distance / -1 id. Every index
+    tier (Flat/ShardedFlat/IVF/ShardedIVF) routes through this so the
+    degenerate k > ntotal case behaves identically across tiers."""
+    if d2.shape[1] >= k:
+        return d2, idx
+    nq, missing = d2.shape[0], k - d2.shape[1]
+    d2 = np.concatenate([d2, np.full((nq, missing), np.inf, d2.dtype)], axis=1)
+    idx = np.concatenate([idx, np.full((nq, missing), -1, idx.dtype)], axis=1)
+    return d2, idx
+
+
 class FlatIndex:
     """Exact (Flat) index: the whole corpus lives in device memory.
 
@@ -230,18 +243,7 @@ class FlatIndex:
             queries = jnp.asarray(queries, dtype=jnp.float32)
         k_eff = min(k, self.ntotal)
         d2, idx = self._search_core(queries, k_eff)
-        d2, idx = np.asarray(d2), np.asarray(idx)
-        if k_eff < k:
-            # faiss IndexFlatL2 always returns (nq, k): missing neighbors
-            # are +inf distance / -1 id (matches ShardedFlatIndex/IVFIndex)
-            nq = d2.shape[0]
-            d2 = np.concatenate(
-                [d2, np.full((nq, k - k_eff), np.inf, d2.dtype)], axis=1
-            )
-            idx = np.concatenate(
-                [idx, np.full((nq, k - k_eff), -1, idx.dtype)], axis=1
-            )
-        return d2, idx
+        return _pad_to_k(np.asarray(d2), np.asarray(idx), k)
 
 
 def shard_corpus(
@@ -363,10 +365,11 @@ class ShardedFlatIndex:
         return self.corpus.shape[0]
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        return sharded_search(
+        d2, idx = sharded_search(
             queries, self.corpus, min(k, self.ntotal),
             prepared=self._prepared, query_upload=self.query_upload,
         )
+        return _pad_to_k(np.asarray(d2), np.asarray(idx), k)
 
     def search_device_queries(self, queries, k: int):
         """Fused-pipeline entry: device-array queries, no host staging —

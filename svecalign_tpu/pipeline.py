@@ -101,6 +101,11 @@ def parse_args():
                              "(~31x fewer upload bytes); 'host' stages every "
                              "padded window batch from the host (round-2 "
                              "path, bit-identical under fp32 uploads).")
+    parser.add_argument("--knn_k", type=int, default=16,
+                        help="score_align --k (neighbors per margin "
+                             "denominator). Corpora smaller than k collapse "
+                             "the margin scores (reference semantics) — "
+                             "lower this for toy/miniature corpora.")
     parser.add_argument("--max_cost", type=float, default=0.7)
     parser.add_argument("--max_num_align", type=int, default=3)
     parser.add_argument("--min_dur", type=float, default=1.0)
@@ -283,6 +288,7 @@ def main():
         _invoke("svecalign_tpu.postprocess.score_align", meta, ali_mrg,
                 "--embed_dir", ali_emb, "--align_dir", ali_min, *langs,
                 "--index_dir", ali_idx, "--embed_fp16",
+                "--k", str(args.knn_k),
                 *(["--embed_stopes"] if stopes else []),
                 *(["--sharded_index"] if args.sharded_index else []))
     if "prep_tsv" in stages:

@@ -496,3 +496,28 @@ def test_sharded_ivf_rejects_stale_snapshot():
     ivf.add(corpus[:8])
     with pytest.raises(RuntimeError, match="grew after sharding"):
         sh.search(corpus[:4], 4)
+
+
+def test_k_beyond_ntotal_pads_identically_across_tiers():
+    """faiss IndexFlatL2 returns (nq, k) with +inf/-1 fill when k > ntotal;
+    every tier must agree (round-5 fix: ShardedFlatIndex returned only
+    ntotal columns, so the degenerate small-corpus margin case silently
+    DIFFERED between --sharded_index and the plain path)."""
+    from svecalign_tpu.ops.topk import FlatIndex, ShardedFlatIndex
+
+    rng = np.random.default_rng(7)
+    corpus = normalize_l2(rng.standard_normal((6, 32)).astype(np.float32))
+    queries = corpus[:3]
+
+    flat = FlatIndex(dim=32)
+    flat.add(corpus)
+    d_f, i_f = flat.search(queries, 16)
+    sh = ShardedFlatIndex(corpus)
+    d_s, i_s = sh.search(queries, 16)
+
+    for d, i in ((d_f, i_f), (d_s, i_s)):
+        assert d.shape == (3, 16) and i.shape == (3, 16)
+        assert np.isinf(d[:, 6:]).all()
+        assert (i[:, 6:] == -1).all()
+    np.testing.assert_allclose(d_s[:, :6], d_f[:, :6], rtol=1e-5, atol=1e-5)
+    assert (i_s[:, 0] == i_f[:, 0]).all()
