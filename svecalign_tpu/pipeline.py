@@ -101,6 +101,18 @@ def parse_args():
                              "(~31x fewer upload bytes); 'host' stages every "
                              "padded window batch from the host (round-2 "
                              "path, bit-identical under fp32 uploads).")
+    parser.add_argument("--overlap_untrans", action="store_true", default=False,
+                        help="run the untranslated-duplicate stages "
+                             "(detect_untranslate_segs + _concats — serial "
+                             "single-core host fbank work, the largest "
+                             "non-embed stage) on a background thread "
+                             "CONCURRENTLY with concat_segs+embed, joining "
+                             "before align. Legal because their outputs feed "
+                             "only align/filter_untrans; outputs are "
+                             "byte-identical either way. Whether it wins on "
+                             "a 1-core host is a measurement (BASELINE.md); "
+                             "stage_seconds then double-counts the "
+                             "overlapped wall.")
     parser.add_argument("--knn_k", type=int, default=16,
                         help="score_align --k (neighbors per margin "
                              "denominator). Corpora smaller than k collapse "
@@ -152,16 +164,28 @@ end of main(); tools/rehearse_corpus.py reads it for the sustained-run
 breakdown."""
 
 
-def _invoke(module: str, *argv: str) -> None:
-    """Run a stage CLI in-process (same interpreter, shared jit caches)."""
+def _invoke(module: str, *argv: str, threadsafe: bool = False) -> None:
+    """Run a stage CLI in-process (same interpreter, shared jit caches).
+
+    threadsafe=True passes argv straight into the stage's ``main(argv)``
+    instead of mutating the process-global sys.argv — required for any
+    stage launched on the --overlap_untrans background thread, where a
+    concurrent foreground stage would otherwise race on sys.argv."""
     import importlib
     import time
 
     logger.info(f">>> {module} {' '.join(argv)}")
     mod = importlib.import_module(module)
+    t0 = time.perf_counter()
+    if threadsafe:
+        try:
+            mod.main(list(argv))
+        finally:
+            name = module.rsplit(".", 1)[1]
+            stage_seconds[name] = stage_seconds.get(name, 0.0) + time.perf_counter() - t0
+        return
     old = sys.argv
     sys.argv = [module.rsplit(".", 1)[1], *argv]
-    t0 = time.perf_counter()
     try:
         mod.main()
     finally:
@@ -211,14 +235,43 @@ def main():
                     "--vad_model", args.vad_model,
                     *(["--vad_ckpt", args.vad_ckpt] if args.vad_ckpt else []),
                     *shard, *tgt)
-    if "untrans_segs" in stages:
-        _invoke("svecalign_tpu.preprocess.detect_untranslate_segs", meta, unsegs,
-                "--seg_dir", seg, *langs)
+
+    def _run_untrans(threadsafe: bool = False) -> None:
+        if "untrans_segs" in stages:
+            _invoke("svecalign_tpu.preprocess.detect_untranslate_segs", meta,
+                    unsegs, "--seg_dir", seg, *langs, threadsafe=threadsafe)
+        if "untrans_concats" in stages:
+            _invoke("svecalign_tpu.seg_align.detect_untranslate_concats", meta,
+                    uncats, "--seg_dir", seg, "--identical_seg_dir", unsegs,
+                    *langs, threadsafe=threadsafe)
+
+    # --overlap_untrans: the untrans stages are serial single-core fbank
+    # work whose inputs (segments + raw audio) exist now and whose outputs
+    # feed only align/filter_untrans — run them concurrently with the
+    # device-bound embed stage and join before align. Only worth doing
+    # when embed actually runs in this invocation.
+    untrans_thread = None
+    untrans_exc: list = []
+    if args.overlap_untrans and "embed" in stages:
+        import threading
+
+        def _untrans_bg():
+            try:
+                _run_untrans(threadsafe=True)
+            except BaseException as e:  # re-raised at join
+                untrans_exc.append(e)
+
+        untrans_thread = threading.Thread(target=_untrans_bg, name="untrans")
+        untrans_thread.start()
+    else:
+        if "untrans_segs" in stages:
+            _invoke("svecalign_tpu.preprocess.detect_untranslate_segs", meta,
+                    unsegs, "--seg_dir", seg, *langs)
     if "concat_segs" in stages:
         for lang, tgt in [(sl, []), (tl, ["--use_tgt"])]:
             _invoke("svecalign_tpu.seg_align.concat_segs", meta, cat,
                     "--seg_dir", seg, "--lang", lang, *tgt)
-    if "untrans_concats" in stages:
+    if untrans_thread is None and "untrans_concats" in stages:
         _invoke("svecalign_tpu.seg_align.detect_untranslate_concats", meta, uncats,
                 "--seg_dir", seg, "--identical_seg_dir", unsegs, *langs)
     if "embed" in stages:
@@ -233,6 +286,10 @@ def main():
                     "--window_assembly", args.window_assembly,
                     "--max_tokens", str(args.embed_max_tokens),
                     *ck, *shard, *tgt)
+    if untrans_thread is not None:
+        untrans_thread.join()
+        if untrans_exc:
+            raise untrans_exc[0]
     if "align" in stages:
         # SONAR writes headerless raw fp16 (embed stage default): align must
         # be told, or read_in_embeddings parses the bytes as fp32 garbage.

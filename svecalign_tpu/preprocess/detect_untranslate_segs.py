@@ -24,7 +24,7 @@ from svecalign_tpu.utils.mp_utils import start_multi_processes
 logger = logging.getLogger(__name__)
 
 
-def parse_args():
+def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
                         help="the meta file that each line contains paired audio paths")
@@ -38,7 +38,7 @@ def parse_args():
     parser.add_argument("--fbank_dist_thres", type=float, default=5.0,
                         help="the MSE threshold between two fbank.")
     parser.add_argument("--n_proc", type=int, default=1, help="Num of processes.")
-    return parser.parse_args()
+    return parser.parse_args(argv)
 
 
 def detect(
@@ -78,8 +78,11 @@ def detect(
         tmp_tgt.replace(tgt_out_path)
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    """argv=None reads sys.argv (CLI contract); the pipeline's overlapped
+    untrans thread passes an explicit list so two concurrently-running
+    stages never race on the process-global sys.argv."""
+    args = parse_args(argv)
     logger.info(args)
 
     all_pairs = read_metadata(args.metadata)

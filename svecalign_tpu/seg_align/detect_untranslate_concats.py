@@ -23,7 +23,7 @@ from svecalign_tpu.utils.log_utils import logging, my_tqdm
 logger = logging.getLogger(__name__)
 
 
-def parse_args():
+def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("metadata", type=str,
                         help="tsv of paired src/tgt audio paths")
@@ -40,7 +40,7 @@ def parse_args():
                              "(must match concat_segs)")
     parser.add_argument("--max_dur", type=float, default=20.0,
                         help="duration cap per span, seconds (must match concat_segs)")
-    return parser.parse_args()
+    return parser.parse_args(argv)
 
 
 def read_flagged_ids(path) -> Set[int]:
@@ -77,8 +77,11 @@ def flag_hits_per_anchor(
     return hits
 
 
-def main():
-    args = parse_args()
+def main(argv=None):
+    """argv=None reads sys.argv (CLI contract); the pipeline's overlapped
+    untrans thread passes an explicit list so two concurrently-running
+    stages never race on the process-global sys.argv."""
+    args = parse_args(argv)
     logger.info(args)
 
     pair_root = f"{args.src_lang}-{args.tgt_lang}"

@@ -254,3 +254,37 @@ def test_pipeline_forwards_mesh_flags(tmp_path, monkeypatch):
     a = meshy["align"]
     assert "--data_parallel" in a and a[a.index("--data_parallel") + 1] == "8"
     assert "--sharded_index" in meshy["score_align"]
+
+
+def test_overlap_untrans_outputs_identical(tmp_path):
+    """--overlap_untrans moves the untranslated-duplicate stages onto a
+    background thread concurrent with embed; every output file must be
+    byte-identical to the serial ordering (the flag is a scheduling
+    change, never a semantic one). Drives the full 16-stage miniature
+    pipeline twice in subprocesses (tools/mini_pipeline.py)."""
+    import json
+    import os
+
+    def run(out, extra):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+        proc = subprocess.run(
+            [sys.executable, "tools/mini_pipeline.py", "--out", str(out),
+             *extra],
+            cwd=str(Path(__file__).resolve().parents[1]),
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads((out / "mined_rows.json").read_text())
+
+    rows_serial = run(tmp_path / "serial", [])
+    rows_overlap = run(tmp_path / "overlap", ["--overlap_untrans"])
+    assert rows_serial == rows_overlap and rows_serial
+
+    for rel in ("untrans_segs", "untrans_cat_seg_ids"):
+        a = sorted((tmp_path / "serial/mined" / rel).rglob("*.txt"))
+        b = sorted((tmp_path / "overlap/mined" / rel).rglob("*.txt"))
+        assert [p.name for p in a] == [p.name for p in b] and a
+        for x, y in zip(a, b):
+            assert x.read_bytes() == y.read_bytes(), x.name

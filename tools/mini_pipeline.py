@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--mesh", action="store_true",
                     help="align --data_parallel 0 + score_align "
                     "--sharded_index (embed auto-shards regardless)")
+    ap.add_argument("--overlap_untrans", action="store_true",
+                    help="forwarded to the pipeline (untrans stages on a "
+                    "background thread concurrent with embed)")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -99,6 +102,8 @@ def main():
     ]
     if args.mesh:
         argv += ["--data_parallel", "0", "--sharded_index"]
+    if args.overlap_untrans:
+        argv += ["--overlap_untrans"]
     old = sys.argv
     sys.argv = argv
     try:

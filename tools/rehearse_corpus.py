@@ -104,6 +104,9 @@ def main():
     ap.add_argument("--sharded_index", action="store_true",
                     help="forwarded to the pipeline (score_align shards the "
                     "kNN corpora over the device mesh)")
+    ap.add_argument("--overlap_untrans", action="store_true",
+                    help="forwarded to the pipeline (untrans stages on a "
+                    "background thread concurrent with embed)")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -134,6 +137,8 @@ def main():
         argv += ["--data_parallel", str(args.data_parallel)]
     if args.sharded_index:
         argv += ["--sharded_index"]
+    if args.overlap_untrans:
+        argv += ["--overlap_untrans"]
     old_argv = sys.argv
     sys.argv = argv
     t0 = time.perf_counter()
