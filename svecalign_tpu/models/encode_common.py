@@ -150,8 +150,8 @@ def _cast_fp16(emb: jax.Array) -> jax.Array:
 class SpanEncoderMixin:
     """encode_spans() for models exposing the hook set described above."""
 
-    def prewarm_span_programs(self) -> None:
-        """Fire-and-forget: first-call every (bucket, rows) span forward
+    def prewarm_span_programs(self, buckets=None) -> None:
+        """Fire-and-forget: first-call the (bucket, rows) span forwards
         from daemon threads so the axon compile service overlaps the
         compiles (measured 1.4x on the 7-bucket LASER set: 121.8 s
         serial -> 86.8 s concurrent, tools/ablate_compile_parallel.py)
@@ -159,6 +159,18 @@ class SpanEncoderMixin:
         own first call per bucket then waits on the in-flight compile
         instead of starting it serially. Zero batches are real forward
         executions (~15 ms device each) whose outputs are dropped.
+
+        ``buckets``: the subset to prewarm, in priority order — the
+        compile service partially serializes concurrent requests, so
+        callers that know the corpus (seg_align/embed scans its concat
+        files) pass the buckets it will actually hit, most-frequent
+        first. The big win is what is NOT requested: SONAR's 3000/4500/
+        6000-frame conformers belong to embed_align spans, never to
+        overlap windows, and each is a full 24-layer compile stealing
+        service time from the modal 700-frame program the first file
+        blocks on. None = every _span_buckets() (round-4 behavior).
+        Unknown buckets are ignored (the lazy compile path still covers
+        a miss — prewarm is an optimization, never a gate).
 
         SVECALIGN_PREWARM_COMPILES=0 disables. Callers should skip tiny
         corpora (the embed stage gates on >= 4 files): the threads are
@@ -183,7 +195,16 @@ class SpanEncoderMixin:
             except Exception as e:  # pragma: no cover - diagnostics only
                 logger.warning(f"prewarm bucket {bucket}: {e}")
 
-        for b in self._span_buckets():
+        known = list(self._span_buckets())
+        if buckets is None:
+            todo = known
+        else:
+            todo = [b for b in buckets if b in known]
+            logger.info(
+                f"prewarm: {len(todo)}/{len(known)} buckets requested "
+                f"(priority order {todo})"
+            )
+        for b in todo:
             threading.Thread(target=touch, args=(b,), daemon=True).start()
 
     def _get_fused_chunk(self, width: int, fp32: bool, bucket):

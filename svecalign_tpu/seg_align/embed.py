@@ -117,9 +117,33 @@ def main():
     # overlap the cold per-bucket forward compiles with the first files'
     # host work + encodes (1.4x on the compile bill — encode_common
     # .prewarm_span_programs); skipped for tiny corpora where daemon
-    # threads could outlive the process mid-compile
+    # threads could outlive the process mid-compile. The concat files are
+    # cheap host text, so scan the PENDING ones first and request only
+    # the buckets this corpus actually hits, most-frequent first — the
+    # compile service partially serializes, and SONAR's unused 3000-6000
+    # frame conformer compiles otherwise starve the modal-bucket program
+    # the first file blocks on.
+    # SVECALIGN_PREWARM_SCAN=0 reverts to all-buckets prewarm (A/B knob)
     if len(all_inputs) >= 4 and hasattr(embed_model, "prewarm_span_programs"):
-        embed_model.prewarm_span_programs()
+        buckets = None
+        if hasattr(embed_model, "_span_plan") and os.environ.get(
+            "SVECALIGN_PREWARM_SCAN", "1"
+        ) != "0":
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for audio_file in all_inputs:
+                stem = Path(audio_file).stem
+                if (out_dir / f"{stem}.embed").exists():
+                    continue  # skip-existing: contributes no compiles
+                seg_file = concat_dir / f"{stem}.txt"
+                if not seg_file.exists():
+                    continue
+                for s, e in read_segments(seg_file):
+                    counts[embed_model._span_plan(s, e - s)[0]] += 1
+            if counts:
+                buckets = [b for b, _ in counts.most_common()]
+        embed_model.prewarm_span_programs(buckets=buckets)
 
     from concurrent.futures import ThreadPoolExecutor
 
