@@ -292,3 +292,34 @@ def test_prewarm_span_programs_runs_and_changes_nothing(make):
         time.sleep(0.1)
     after = m.encode_spans(w, SPANS[:3])
     np.testing.assert_array_equal(before, after)
+
+
+@pytest.mark.parametrize("make", ["laser", "sonar"])
+def test_prewarm_bucket_subset_filter(make, monkeypatch):
+    """prewarm_span_programs(buckets=...) compiles only the requested
+    subset, keeps the caller's priority order, and silently drops unknown
+    buckets (a miss is covered by the lazy path — prewarm is never a
+    gate). Captures the touch targets instead of running forwards."""
+    import threading
+
+    m = _laser("int16") if make == "laser" else _sonar("int16")
+    known = list(m._span_buckets())
+    touched = []
+
+    class _Rec(threading.Thread):
+        def __init__(self, target=None, args=(), daemon=None):
+            super().__init__(daemon=True)
+            self._args = args
+
+        def start(self):
+            touched.append(self._args[0])  # record, don't compile
+
+    monkeypatch.setattr(threading, "Thread", _Rec)
+
+    m.prewarm_span_programs()  # None = every known bucket (round-4 path)
+    assert touched == known
+
+    touched.clear()
+    ask = [known[-1], 10**9, known[0]]  # reversed priority + unknown
+    m.prewarm_span_programs(buckets=ask)
+    assert touched == [known[-1], known[0]]

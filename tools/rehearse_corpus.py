@@ -158,8 +158,21 @@ def main():
         with gzip.open(finals[0], "rt") as fp:
             n_mined = sum(1 for _ in fp)
 
+    # long-process health: host RSS is the 1-core box's scarcest resource
+    # after the tunnel; a leak here is exactly what a 24-h shard dies of
+    rss_kb = 0
+    try:
+        with open("/proc/self/status") as fp:
+            for line in fp:
+                if line.startswith("VmRSS:"):
+                    rss_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+
     report = {
         "pairs": args.pairs,
+        "host_rss_gb": round(rss_kb / 1e6, 2),
         "hour_pairs": args.hour_pairs,
         "total_audio_hours": round(total_audio_sec / 3600, 2),
         "wall_seconds": round(wall, 1),
