@@ -132,6 +132,52 @@ def test_remove_overlaps_close_to_reference(example_dir):
     assert starts == sorted(starts)
 
 
+def test_remove_overlaps_bucketing_matches_quadratic_scan():
+    """The production greedy dedup buckets kept lines by source path (IoU is
+    zero across files, so the bucket scan is semantics-preserving); pin it
+    against the unbucketed quadratic oracle on a randomized multi-document
+    tsv with deliberate span collisions."""
+    from svecalign_tpu.postprocess.remove_overlaps import _iou, _parse_side
+    import random
+
+    rng = random.Random(7)
+    lines = []
+    for _ in range(600):
+        doc = rng.randrange(6)
+        src_a, tgt_a = f"/a/doc{doc}_en.wav", f"/a/doc{doc}_de.wav"
+        # coarse-grained starts force heavy overlap within a document
+        s0 = rng.randrange(8) * 8000
+        s1 = s0 + rng.randrange(4000, 64000)
+        t0 = rng.randrange(8) * 8000
+        t1 = t0 + rng.randrange(4000, 64000)
+        score = round(rng.uniform(0.1, 2.0), 6)
+        lines.append(f"{score}\t{src_a} {s0} {s1} 16000\t{tgt_a} {t0} {t1} 16000")
+    lines.sort(key=lambda l: -float(l.split("\t")[0]))
+
+    def oracle(lines, min_ms, thres, mo, ms_per_frame=1 / 16.0):
+        cands = []
+        for line in lines:
+            sc, sf, tf = line.split("\t")
+            if float(sc) < thres:
+                continue
+            src = _parse_side(sf)
+            if (src[2] - src[1]) * ms_per_frame < min_ms:
+                continue
+            cands.append((src, _parse_side(tf), line))
+        kept = []
+        for src, tgt, line in cands:
+            if not any(_iou(src, ks) > mo and _iou(tgt, kt) > mo
+                       for ks, kt, _ in kept):
+                kept.append((src, tgt, line))
+        kept.sort(key=lambda it: (it[0][0], it[0][1]))
+        return [line for _, _, line in kept]
+
+    for mo in (0.2, 0.5, 0.8):
+        got = remove_overlaps(lines, 1000, 0.5, mo)
+        want = oracle(lines, 1000, 0.5, mo)
+        assert got == want and len(got) < len(lines)
+
+
 def test_sort_tsv_bit_exact(example_dir, tmp_path):
     src = example_dir / "align_0.7_clean_cat3_min1s_tsvs/en-de/align.rm_overlap.tsv.gz"
     out = tmp_path / "sorted.tsv.gz"
