@@ -167,6 +167,98 @@ def dense_dp_bp(costs, pen) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Device-side traceback
+#
+# The host traceback needs random access to the FULL backpointer plane, so
+# the host path pulls it whole: (n_diags, rmax) int8 per pair for the dense
+# level plus (A+2, B) fp32+2*int8 for every banded level. At mining batch
+# sizes that is ~10 MB of D2H per 64-pair bucket — and the tunnel's pulls
+# are superlinear in bytes with a bytes-proportional host stall afterwards
+# (tools/ablate_stall.py: 8 MB ≈ 0.25 s + after-damage). The walk itself is
+# a unit-step path of at most n_diags nodes, so a fixed-length lax.scan can
+# follow the pointers ON DEVICE and emit only the visited nodes: the pull
+# shrinks to the path (~100x fewer bytes). Host code then rebuilds the
+# alignment lists from the emitted steps with the exact reference semantics
+# (reference svecalign/vecalign/dp_utils.py:105-174).
+#
+# XLA:TPU gather discipline (the round-4 worker-crash lesson, see
+# dense_reassemble): every gather in here is SINGLE-output — xp/yp are
+# stacked into ONE array before the walk so the per-step fetch is one
+# gather, and the csum path gather runs on its own operand after the scan
+# instead of sharing indices with the pointer fetch.
+# ---------------------------------------------------------------------------
+
+
+def dense_traceback_scan(bd_planes: Array, x_size: Array, y_size: Array):
+    """Walk the dense DP's diagonal-major bp planes from node
+    (x_size, y_size) to (0, 0) on device.
+
+    Returns (xs, ys, vs): the visited node and its bp value per step,
+    length n_diags (an upper bound on any unit-step path). After the walk
+    reaches the origin it stays there (the origin's bp marker is 4); the
+    host conversion stops at the first (0, 0) step, exactly like the host
+    traceback's ``if xx == yy == 0: break``.
+    """
+    n_diags, rmax = bd_planes.shape
+
+    def step(carry, _):
+        xx, yy = carry
+        v = bd_planes[xx + yy, xx].astype(jnp.int32)  # single-output gather
+        dx = jnp.where((v == 0) | (v == 2), 1, 0)
+        dy = jnp.where((v == 0) | (v == 1), 1, 0)
+        at0 = (xx == 0) & (yy == 0)
+        nxx = jnp.where(at0, 0, xx - dx)
+        nyy = jnp.where(at0, 0, yy - dy)
+        return (nxx, nyy), (xx, yy, v.astype(jnp.int8))
+
+    x0 = x_size.astype(jnp.int32)
+    y0 = y_size.astype(jnp.int32)
+    (_, _), (xs, ys, vs) = jax.lax.scan(step, (x0, y0), None, length=n_diags)
+    return xs.astype(jnp.int32), ys.astype(jnp.int32), vs
+
+
+def banded_traceback_scan(
+    csum: Array,
+    xp: Array,
+    yp: Array,
+    b_offset_out: Array,
+    x_size: Array,
+    y_size: Array,
+):
+    """Walk the banded DP's (A+2, B) planes from node (x_size, y_size) to
+    (0, 0) on device; gather csum along the visited path.
+
+    Returns (xs, ys, xps, yps, cs) of length A+2 each. The host conversion
+    (traceback.sparse_alignments_from_steps) appends the csum value THEN
+    stops at the first (0, 0) step — the reference walk's order
+    (dp_utils.py:105-143), so the origin's cumulative cost is included.
+    """
+    A2, B = xp.shape
+    # one gather per step for BOTH pointers (never two same-index gathers —
+    # XLA fuses those into a dual-output gather, the round-4 TPU landmine)
+    xpy = jnp.stack([xp, yp], axis=-1).astype(jnp.int32)  # (A+2, B, 2)
+    boff = b_offset_out.astype(jnp.int32)
+
+    def step(carry, _):
+        xx, yy = carry
+        aa = xx + yy
+        bb = yy - boff[aa]
+        v = xpy[aa, bb]  # (2,): single gather
+        at0 = (xx == 0) & (yy == 0)
+        dx = jnp.where(at0, 0, v[0])
+        dy = jnp.where(at0, 0, v[1])
+        return (xx - dx, yy - dy), (xx, yy, v[0].astype(jnp.int8), v[1].astype(jnp.int8))
+
+    x0 = x_size.astype(jnp.int32)
+    y0 = y_size.astype(jnp.int32)
+    (_, _), (xs, ys, xps, yps) = jax.lax.scan(step, (x0, y0), None, length=A2)
+    aa = xs + ys
+    bb = ys - boff[aa]
+    cs = csum[aa, bb]  # single gather on its own operand, after the scan
+    return xs.astype(jnp.int32), ys.astype(jnp.int32), xps, yps, cs
+
+
+# ---------------------------------------------------------------------------
 # Banded (sparse) DP
 # ---------------------------------------------------------------------------
 

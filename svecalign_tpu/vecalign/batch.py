@@ -42,7 +42,12 @@ from svecalign_tpu.vecalign.pyramid import (
     extend_alignments,
     upsample_alignment,
 )
-from svecalign_tpu.vecalign.traceback import dense_traceback, sparse_traceback
+from svecalign_tpu.vecalign.traceback import (
+    dense_alignments_from_steps,
+    dense_traceback,
+    sparse_alignments_from_steps,
+    sparse_traceback,
+)
 from svecalign_tpu.utils.log_utils import logging
 
 logger = logging.getLogger("vecalign.batch")
@@ -87,6 +92,35 @@ def _batched_dense_bp(costs, pen):
     traceback never reads csum."""
     _, bd = _batched_dense_scan(costs, pen)
     return dp_ops.dense_reassemble(bd)
+
+
+def device_traceback_enabled() -> bool:
+    """Walk the DP backpointers ON DEVICE and pull only the visited path
+    (~100x fewer D2H bytes than the full planes — the tunnel's pulls are
+    superlinear in size and stall the host afterwards, ablate_stall.py).
+    ``SVECALIGN_DEVICE_TRACEBACK={1,0,auto}``; auto = on for TPU backends
+    (where the pull is the cost), off for CPU (where the pull is free and
+    the sequential walk-scan isn't). Outputs are identical either way
+    (tests/test_device_traceback.py)."""
+    v = os.environ.get("SVECALIGN_DEVICE_TRACEBACK", "auto").lower()
+    if v in ("1", "on", "true"):
+        return True
+    if v in ("0", "off", "false"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+@jax.jit
+def _batched_dense_steps(costs, pen, xs, ys):
+    """Dense DP + device traceback in ONE program: the bp planes never
+    leave the device; only the (P, n_diags, 3) path steps are pulled."""
+    _, bd = jax.vmap(dp_ops.dense_dp_scan)(costs, pen)
+    return jax.vmap(dp_ops.dense_traceback_scan)(bd, xs, ys)
+
+
+@jax.jit
+def _batched_banded_tb(csum, xp, yp, boff_out, xs, ys):
+    return jax.vmap(dp_ops.banded_traceback_scan)(csum, xp, yp, boff_out, xs, ys)
 
 
 @jax.jit
@@ -939,14 +973,24 @@ def _vecalign_batched_core(
 
     # dense level
     top = stack[max_depth]
+    device_tb = device_traceback_enabled()
     costs = _batched_dense_costs(
         top["v0"][:, 0], top["v1"][:, 0], top["n0"][:, 0], top["n1"][:, 0]
     )
-    bp = _batched_dense_bp(costs, top["del_penalty"])
-    top["alignments"] = [
-        dense_traceback(bp[i][: top["h_sizes0"][i] + 1, : top["h_sizes1"][i] + 1])
-        for i in range(P)
-    ]
+    if device_tb:
+        steps = _batched_dense_steps(
+            costs, top["del_penalty"], top["d_sizes0"], top["d_sizes1"]
+        )
+        sxs, sys_, svs = jax.device_get(steps)
+        top["alignments"] = [
+            dense_alignments_from_steps(sxs[i], sys_[i], svs[i]) for i in range(P)
+        ]
+    else:
+        bp = _batched_dense_bp(costs, top["del_penalty"])
+        top["alignments"] = [
+            dense_traceback(bp[i][: top["h_sizes0"][i] + 1, : top["h_sizes1"][i] + 1])
+            for i in range(P)
+        ]
 
     # refinement levels
     upsample_depths = [0] if max_depth == 0 else list(reversed(range(0, max_depth)))
@@ -982,9 +1026,12 @@ def _vecalign_batched_core(
             boff_in[i, len(bo) :] = bo[-1]  # replicate; cells are invalid anyway
         # host copy of the node-space extension for sparse_traceback; the
         # device copy is derived on device from the single boff_in upload
-        boff_out = np.stack(
-            [dp_ops.extend_band_offsets(boff_in[i]) for i in range(P)]
-        )
+        # (unused when the traceback itself runs on device)
+        boff_out = None
+        if not device_tb:
+            boff_out = np.stack(
+                [dp_ops.extend_band_offsets(boff_in[i]) for i in range(P)]
+            )
         # int16 over the tunnel when offsets fit (values in [-w2, m_pad+1])
         if m_pad + width_over2 + 2 < np.iinfo(np.int16).max:
             boff_up = boff_in.astype(np.int16)
@@ -1011,21 +1058,34 @@ def _vecalign_batched_core(
             e["d_sizes1"],
             dp_backend=dp_backend,
         )
-        # ONE pull for the whole bucket
-        csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))
-
         e["alignments"] = []
         e["alignment_scores"] = []
-        for i in range(P):
-            aligns, scores = sparse_traceback(
-                csum_h[i].astype(np.float64),
-                xp_h[i],
-                yp_h[i],
-                boff_out[i],
-                int(e["h_sizes0"][i]),
-                int(e["h_sizes1"][i]),
+        if device_tb:
+            # walk the pointers on device; ONE pull of the visited path
+            # (~100x fewer bytes than the full csum+bp planes)
+            steps = _batched_banded_tb(
+                csum, xp, yp, d_boff_out, e["d_sizes0"], e["d_sizes1"]
             )
-            e["alignments"].append(aligns)
-            e["alignment_scores"].append(scores)
+            sx_h, sy_h, sxp_h, syp_h, cs_h = jax.device_get(steps)
+            for i in range(P):
+                aligns, scores = sparse_alignments_from_steps(
+                    sx_h[i], sy_h[i], sxp_h[i], syp_h[i], cs_h[i]
+                )
+                e["alignments"].append(aligns)
+                e["alignment_scores"].append(scores)
+        else:
+            # ONE pull for the whole bucket
+            csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))
+            for i in range(P):
+                aligns, scores = sparse_traceback(
+                    csum_h[i].astype(np.float64),
+                    xp_h[i],
+                    yp_h[i],
+                    boff_out[i],
+                    int(e["h_sizes0"][i]),
+                    int(e["h_sizes1"][i]),
+                )
+                e["alignments"].append(aligns)
+                e["alignment_scores"].append(scores)
 
     return list(zip(stack[0]["alignments"], stack[0]["alignment_scores"]))

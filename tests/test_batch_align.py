@@ -326,16 +326,19 @@ def test_device_del_penalty_matches_host_knob():
         assert pen[2] == 0.5  # invalid pair placeholder
 
 
-def test_mesh_sharded_pairs_match_single_device():
+@pytest.mark.parametrize("device_tb", ["0", "1"])
+def test_mesh_sharded_pairs_match_single_device(device_tb, monkeypatch):
     """Multi-chip aligner: sharding the pair axis over an 8-device mesh must
     reproduce the single-device batched outputs exactly — the DP is
     per-pair, so partitioning may not change any value (SURVEY.md 5.8's
-    data-parallel-docs analog applied to the aligner itself)."""
+    data-parallel-docs analog applied to the aligner itself). Covered for
+    both traceback paths (host plane pull AND the device walk)."""
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from svecalign_tpu.vecalign.batch import run_staged, stage_rows_upload
 
+    monkeypatch.setenv("SVECALIGN_DEVICE_TRACEBACK", device_tb)
     assert len(jax.devices()) >= 8
     rng = np.random.default_rng(7)
     pairs = []
