@@ -239,7 +239,7 @@ def run_fused(batch: int = 64, n_iters: int = 4) -> float:
     embedding rows are already ON DEVICE (pipeline --fused handoff,
     utils/embed_cache.py), so only the small id maps cross the tunnel.
     Quality is exactly the fp16 file path (bit-identical,
-    tests/test_fused.py). main() sweeps pair batches {32, 64, 128} and
+    tests/test_fused.py). main() sweeps pair batches {32, 64, 128, 256} and
     reports the best. Two batch-128 OOMs fixed along the way: the
     deletion-knob sampler's (P, 20000, 1024) gather (round 3, now
     scan-chunked) and the staging build's per-pair-stacked fp32 cache cast
@@ -655,7 +655,10 @@ def _run_bench():
     # records the number the docs claim (round-2 gap: docs said batch 64,
     # bench only ran 32)
     fused_sweep = {}
-    for b in (32, 64, 128):
+    # 256 joined the sweep in round 5: the device traceback removed the
+    # byte-proportional plane pulls that used to punish big buckets (128
+    # first beat 64 in the same capture); an OOM at 256 records gracefully
+    for b in (32, 64, 128, 256):
         _phase(f"run_fused batch={b}")
         try:
             fused_sweep[b] = run_fused(batch=b, n_iters=2)
