@@ -28,6 +28,7 @@ Accumulation is float32 (the reference uses float64); parity is defined as
 gold-F1 equality plus cost agreement within tolerance (SURVEY.md section 6).
 """
 
+import os
 from functools import partial
 from typing import List, Tuple
 
@@ -164,6 +165,28 @@ def dense_dp_bp(costs, pen) -> np.ndarray:
     traceback never reads csum; the fp32 plane stays on device)."""
     _, bd = _dense_dp_scan_j(costs, pen)
     return dense_reassemble(bd)
+
+
+def device_traceback_enabled(per_pair: bool = False) -> bool:
+    """Walk the DP backpointers ON DEVICE and pull only the visited path
+    (~100x fewer D2H bytes than the full planes — the tunnel's pulls are
+    superlinear in bytes and stall the host afterwards, ablate_stall.py).
+    ``SVECALIGN_DEVICE_TRACEBACK={1,0,auto}``; auto = on for TPU backends
+    in the BATCHED aligner (measured 1.85x at the fused headline workload,
+    1.35x at hour scale — BASELINE.md round 5), off on CPU (the pull is
+    free and the sequential walk-scan isn't) and off for the per-pair
+    pyramid (``per_pair=True``): measured 0.82x THERE — one pair pulls
+    only ~100 KB, so the walk's extra dispatches cost more than the bytes
+    saved (2026-08-19, 8 interleaved reps, example pair). ``1``/``0``
+    force both paths. Outputs are identical either way
+    (tests/test_device_traceback.py). Note: with the walk on, the pyramid
+    debug stack (--debug_save_stack) omits the backpointer planes."""
+    v = os.environ.get("SVECALIGN_DEVICE_TRACEBACK", "auto").lower()
+    if v in ("1", "on", "true"):
+        return True
+    if v in ("0", "off", "false"):
+        return False
+    return not per_pair and jax.default_backend() in ("tpu", "axon")
 
 
 # ---------------------------------------------------------------------------
@@ -398,10 +421,13 @@ def run_banded_dp(
     del_penalty: float,
     x_in_size: int,
     y_in_size: int,
+    device_planes: bool = False,
 ):
     """Convenience wrapper matching the reference ``sparse_dp`` signature.
 
-    Returns (csum, xp, yp, b_offset_out) as host numpy arrays.
+    Returns (csum, xp, yp, b_offset_out) as host numpy arrays — or, with
+    ``device_planes=True``, leaves csum/xp/yp ON DEVICE (for the device
+    traceback walk; b_offset_out stays host numpy either way).
     """
     x_offsets = tuple(x for x, _ in alignment_types)
     y_offsets = tuple(y for _, y in alignment_types)
@@ -416,6 +442,8 @@ def run_banded_dp(
         jnp.int32(x_in_size),
         jnp.int32(y_in_size),
     )
+    if device_planes:
+        return csum, xp, yp, b_off_out
     # one host pull for all three planes (roundtrip latency dominates on
     # tunneled devices)
     csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))

@@ -273,8 +273,10 @@ def run_banded_dp_pallas(
     del_penalty: float,
     x_in_size: int,
     y_in_size: int,
+    device_planes: bool = False,
 ):
-    """Wrapper matching ops.dp.run_banded_dp's signature/outputs."""
+    """Wrapper matching ops.dp.run_banded_dp's signature/outputs (incl.
+    ``device_planes=True`` leaving csum/xp/yp on device for the walk)."""
     x_offsets = tuple(x for x, _ in alignment_types)
     y_offsets = tuple(y for _, y in alignment_types)
     b_off_out = extend_band_offsets(np.asarray(b_offset_in))
@@ -288,6 +290,8 @@ def run_banded_dp_pallas(
         jnp.int32(x_in_size),
         jnp.int32(y_in_size),
     )
+    if device_planes:
+        return csum, xp, yp, b_off_out
     csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))
     return csum_h.astype(np.float64), xp_h, yp_h, b_off_out
 

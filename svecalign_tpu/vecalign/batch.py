@@ -94,20 +94,8 @@ def _batched_dense_bp(costs, pen):
     return dp_ops.dense_reassemble(bd)
 
 
-def device_traceback_enabled() -> bool:
-    """Walk the DP backpointers ON DEVICE and pull only the visited path
-    (~100x fewer D2H bytes than the full planes — the tunnel's pulls are
-    superlinear in size and stall the host afterwards, ablate_stall.py).
-    ``SVECALIGN_DEVICE_TRACEBACK={1,0,auto}``; auto = on for TPU backends
-    (where the pull is the cost), off for CPU (where the pull is free and
-    the sequential walk-scan isn't). Outputs are identical either way
-    (tests/test_device_traceback.py)."""
-    v = os.environ.get("SVECALIGN_DEVICE_TRACEBACK", "auto").lower()
-    if v in ("1", "on", "true"):
-        return True
-    if v in ("0", "off", "false"):
-        return False
-    return jax.default_backend() in ("tpu", "axon")
+# the env gate lives with the kernels (ops.dp); re-exported for callers
+device_traceback_enabled = dp_ops.device_traceback_enabled
 
 
 @jax.jit

@@ -17,6 +17,7 @@ from collections import OrderedDict
 from time import time
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,12 +28,27 @@ setup_jax()
 from svecalign_tpu.ops import costs as costs_ops
 from svecalign_tpu.ops import dp as dp_ops
 from svecalign_tpu.vecalign.deletion import make_del_knob
-from svecalign_tpu.vecalign.traceback import dense_traceback, sparse_traceback
+from svecalign_tpu.vecalign.traceback import (
+    dense_alignments_from_steps,
+    dense_traceback,
+    sparse_alignments_from_steps,
+    sparse_traceback,
+)
 from svecalign_tpu.utils.log_utils import logging
 
 logger = logging.getLogger("vecalign")
 
 Alignment = Tuple[List[int], List[int]]
+
+
+@jax.jit
+def _dense_steps_single(costs, pen, x_size, y_size):
+    """Single-pair dense DP + device traceback in one program."""
+    _, bd = dp_ops.dense_dp_scan(costs, pen)
+    return dp_ops.dense_traceback_scan(bd, x_size, y_size)
+
+
+_banded_tb_single = jax.jit(dp_ops.banded_traceback_scan)
 
 
 # ---------------------------------------------------------------------------
@@ -158,12 +174,15 @@ def _pick_banded_dp(dp_backend: str, costs_shape, alignment_types):
     if dp_backend == "pallas":
         from svecalign_tpu.ops.dp_pallas import run_banded_dp_pallas
 
-        return run_banded_dp_pallas
+        return run_banded_dp_pallas, "pallas"
     if dp_backend == "native":
         from svecalign_tpu.ops.dp_native import run_banded_dp_native
 
-        return lambda costs, *a: run_banded_dp_native(np.asarray(costs), *a)
-    return dp_ops.run_banded_dp
+        return (
+            lambda costs, *a, **kw: run_banded_dp_native(np.asarray(costs), *a),
+            "native",
+        )
+    return dp_ops.run_banded_dp, "xla"
 
 
 def vecalign(
@@ -279,10 +298,25 @@ def vecalign(
     runtimes["Full DP make features"] = time() - t0
 
     t0 = time()
-    stack[max_depth]["x_y_tb"] = dp_ops.dense_dp_bp(
-        stack[max_depth]["costs_1to1"], jnp.float32(stack[max_depth]["del_penalty"])
-    )
-    stack[max_depth]["alignments"] = dense_traceback(stack[max_depth]["x_y_tb"])
+    if dp_ops.device_traceback_enabled(per_pair=True):
+        # walk the dense pointers on device; pull only the visited path
+        # (the bp planes never cross the tunnel — BASELINE.md round 5)
+        n_top, m_top = stack[max_depth]["costs_1to1"].shape
+        sx, sy, sv = _dense_steps_single(
+            stack[max_depth]["costs_1to1"],
+            jnp.float32(stack[max_depth]["del_penalty"]),
+            jnp.int32(n_top),
+            jnp.int32(m_top),
+        )
+        stack[max_depth]["alignments"] = dense_alignments_from_steps(
+            np.asarray(sx), np.asarray(sy), np.asarray(sv)
+        )
+    else:
+        stack[max_depth]["x_y_tb"] = dp_ops.dense_dp_bp(
+            stack[max_depth]["costs_1to1"],
+            jnp.float32(stack[max_depth]["del_penalty"]),
+        )
+        stack[max_depth]["alignments"] = dense_traceback(stack[max_depth]["x_y_tb"])
     runtimes["Full DP"] = time() - t0
 
     # refine level by level
@@ -323,24 +357,51 @@ def vecalign(
         compute_costs_times.append(time() - t0)
 
         t0 = time()
-        banded_dp_fn = _pick_banded_dp(dp_backend, a_b_costs.shape, types)
-        csum, xp, yp, b_off_out = banded_dp_fn(
-            a_b_costs,
-            b_offset,
-            types,
-            stack[depth]["del_penalty"],
-            stack[depth]["size0"],
-            stack[depth]["size1"],
+        banded_dp_fn, banded_backend = _pick_banded_dp(
+            dp_backend, a_b_costs.shape, types
         )
-        stack[depth]["a_b_csum"] = csum
-        stack[depth]["a_b_xp"] = xp
-        stack[depth]["a_b_yp"] = yp
-        stack[depth]["new_b_offset"] = b_off_out
-
         akey = "final_alignments" if depth == 0 else "alignments"
-        stack[depth][akey], stack[depth]["alignment_scores"] = sparse_traceback(
-            csum, xp, yp, b_off_out, stack[depth]["size0"], stack[depth]["size1"]
-        )
+        # the native (C++ float64) backend computes on host, so there are
+        # no device planes to walk; device/XLA backends walk on device and
+        # pull only the path when the gate is on
+        if banded_backend != "native" and dp_ops.device_traceback_enabled(per_pair=True):
+            csum, xp, yp, b_off_out = banded_dp_fn(
+                a_b_costs,
+                b_offset,
+                types,
+                stack[depth]["del_penalty"],
+                stack[depth]["size0"],
+                stack[depth]["size1"],
+                device_planes=True,
+            )
+            steps = _banded_tb_single(
+                csum, xp, yp,
+                jnp.asarray(b_off_out),
+                jnp.int32(stack[depth]["size0"]),
+                jnp.int32(stack[depth]["size1"]),
+            )
+            sx, sy, sxp, syp, cs = jax.device_get(steps)
+            stack[depth][akey], stack[depth]["alignment_scores"] = (
+                sparse_alignments_from_steps(sx, sy, sxp, syp, cs)
+            )
+            stack[depth]["new_b_offset"] = b_off_out
+        else:
+            csum, xp, yp, b_off_out = banded_dp_fn(
+                a_b_costs,
+                b_offset,
+                types,
+                stack[depth]["del_penalty"],
+                stack[depth]["size0"],
+                stack[depth]["size1"],
+            )
+            stack[depth]["a_b_csum"] = csum
+            stack[depth]["a_b_xp"] = xp
+            stack[depth]["a_b_yp"] = yp
+            stack[depth]["new_b_offset"] = b_off_out
+
+            stack[depth][akey], stack[depth]["alignment_scores"] = sparse_traceback(
+                csum, xp, yp, b_off_out, stack[depth]["size0"], stack[depth]["size1"]
+            )
         dp_times.append(time() - t0)
 
     runtimes["Upsample DP compute costs"] = sum(compute_costs_times[:-1])

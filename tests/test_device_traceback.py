@@ -109,6 +109,37 @@ def test_batched_dense_only_device_walk_exact(monkeypatch):
         np.testing.assert_array_equal(s_d, s_h)
 
 
+def test_per_pair_pyramid_device_walk_exact(monkeypatch):
+    """The per-pair pyramid driver (reference CLI surface): forcing the
+    device walk must not change alignments or scores."""
+    from svecalign_tpu.vecalign import pyramid
+
+    rng = np.random.default_rng(13)
+    n, m = 70, 64
+    v0 = rng.standard_normal((3, n, 16)).astype(np.float32)
+    v1 = rng.standard_normal((3, m, 16)).astype(np.float32)
+    v0 = np.asarray(costs_ops.make_norm1(jnp.asarray(v0)))
+    v1 = np.asarray(costs_ops.make_norm1(jnp.asarray(v1)))
+    kw = dict(
+        final_alignment_types=[(1, 1), (1, 2), (2, 1)],
+        del_percentile_frac=0.2,
+        width_over2=4,
+        max_size_full_dp=24,  # force banded refinement levels
+        costs_sample_size=300,
+        num_samps_for_norm=20,
+        seed=0,
+        dp_backend="xla",  # native has no device planes to walk
+    )
+    monkeypatch.setenv("SVECALIGN_DEVICE_TRACEBACK", "0")
+    host = pyramid.vecalign(v0, v1, **kw)
+    monkeypatch.setenv("SVECALIGN_DEVICE_TRACEBACK", "1")
+    dev = pyramid.vecalign(v0, v1, **kw)
+    assert dev[0]["final_alignments"] == host[0]["final_alignments"]
+    np.testing.assert_array_equal(
+        dev[0]["alignment_scores"], host[0]["alignment_scores"]
+    )
+
+
 def test_banded_walk_kernel_matches_host():
     """Kernel-level: banded DP planes walked on device == sparse_traceback,
     including the cumulative-cost scores."""
