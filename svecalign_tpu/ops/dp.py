@@ -426,16 +426,18 @@ def run_banded_dp(
     """Convenience wrapper matching the reference ``sparse_dp`` signature.
 
     Returns (csum, xp, yp, b_offset_out) as host numpy arrays — or, with
-    ``device_planes=True``, leaves csum/xp/yp ON DEVICE (for the device
-    traceback walk; b_offset_out stays host numpy either way).
+    ``device_planes=True``, (csum, xp, yp, b_offset_out, d_b_offset_out)
+    with the planes AND the already-uploaded node-space offsets ON DEVICE
+    (for the device traceback walk — no re-upload), b_offset_out host.
     """
     x_offsets = tuple(x for x, _ in alignment_types)
     y_offsets = tuple(y for _, y in alignment_types)
     b_off_out = extend_band_offsets(np.asarray(b_offset_in))
+    d_boff_out = jnp.asarray(b_off_out)
     csum, xp, yp = banded_dp(
         jnp.asarray(costs),
         jnp.asarray(b_offset_in, dtype=jnp.int32),
-        jnp.asarray(b_off_out),
+        d_boff_out,
         x_offsets,
         y_offsets,
         jnp.float32(del_penalty),
@@ -443,7 +445,7 @@ def run_banded_dp(
         jnp.int32(y_in_size),
     )
     if device_planes:
-        return csum, xp, yp, b_off_out
+        return csum, xp, yp, b_off_out, d_boff_out
     # one host pull for all three planes (roundtrip latency dominates on
     # tunneled devices)
     csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))

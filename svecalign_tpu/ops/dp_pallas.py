@@ -276,14 +276,16 @@ def run_banded_dp_pallas(
     device_planes: bool = False,
 ):
     """Wrapper matching ops.dp.run_banded_dp's signature/outputs (incl.
-    ``device_planes=True`` leaving csum/xp/yp on device for the walk)."""
+    ``device_planes=True`` returning csum/xp/yp AND the device copy of the
+    node-space offsets for the walk — no re-upload)."""
     x_offsets = tuple(x for x, _ in alignment_types)
     y_offsets = tuple(y for _, y in alignment_types)
     b_off_out = extend_band_offsets(np.asarray(b_offset_in))
+    d_boff_out = jnp.asarray(b_off_out)
     csum, xp, yp = banded_dp_pallas(
         jnp.asarray(costs),
         jnp.asarray(b_offset_in, dtype=jnp.int32),
-        jnp.asarray(b_off_out),
+        d_boff_out,
         x_offsets,
         y_offsets,
         jnp.float32(del_penalty),
@@ -291,7 +293,7 @@ def run_banded_dp_pallas(
         jnp.int32(y_in_size),
     )
     if device_planes:
-        return csum, xp, yp, b_off_out
+        return csum, xp, yp, b_off_out, d_boff_out
     csum_h, xp_h, yp_h = jax.device_get((csum, xp, yp))
     return csum_h.astype(np.float64), xp_h, yp_h, b_off_out
 

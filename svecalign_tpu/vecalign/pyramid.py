@@ -178,10 +178,15 @@ def _pick_banded_dp(dp_backend: str, costs_shape, alignment_types):
     if dp_backend == "native":
         from svecalign_tpu.ops.dp_native import run_banded_dp_native
 
-        return (
-            lambda costs, *a, **kw: run_banded_dp_native(np.asarray(costs), *a),
-            "native",
-        )
+        def _native(costs, *a, device_planes=False):
+            if device_planes:
+                raise ValueError(
+                    "the native (host float64) backend has no device planes "
+                    "to walk — guard with the backend name before asking"
+                )
+            return run_banded_dp_native(np.asarray(costs), *a)
+
+        return _native, "native"
     return dp_ops.run_banded_dp, "xla"
 
 
@@ -302,14 +307,15 @@ def vecalign(
         # walk the dense pointers on device; pull only the visited path
         # (the bp planes never cross the tunnel — BASELINE.md round 5)
         n_top, m_top = stack[max_depth]["costs_1to1"].shape
-        sx, sy, sv = _dense_steps_single(
+        steps = _dense_steps_single(
             stack[max_depth]["costs_1to1"],
             jnp.float32(stack[max_depth]["del_penalty"]),
             jnp.int32(n_top),
             jnp.int32(m_top),
         )
+        # ONE pull for all three step arrays (roundtrip latency dominates)
         stack[max_depth]["alignments"] = dense_alignments_from_steps(
-            np.asarray(sx), np.asarray(sy), np.asarray(sv)
+            *jax.device_get(steps)
         )
     else:
         stack[max_depth]["x_y_tb"] = dp_ops.dense_dp_bp(
@@ -365,7 +371,7 @@ def vecalign(
         # no device planes to walk; device/XLA backends walk on device and
         # pull only the path when the gate is on
         if banded_backend != "native" and dp_ops.device_traceback_enabled(per_pair=True):
-            csum, xp, yp, b_off_out = banded_dp_fn(
+            csum, xp, yp, b_off_out, d_boff_out = banded_dp_fn(
                 a_b_costs,
                 b_offset,
                 types,
@@ -376,7 +382,7 @@ def vecalign(
             )
             steps = _banded_tb_single(
                 csum, xp, yp,
-                jnp.asarray(b_off_out),
+                d_boff_out,  # already on device — no re-upload
                 jnp.int32(stack[depth]["size0"]),
                 jnp.int32(stack[depth]["size1"]),
             )

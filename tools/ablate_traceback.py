@@ -87,26 +87,17 @@ def main():
     from svecalign_tpu.vecalign.vecalign import make_alignment_types
 
     if args.hour_scale:
-        rng = np.random.default_rng(0)
-        pairs = synth_pairs(args.batch, 2000, 2000, rng)
-        kwargs = dict(
-            final_alignment_types=make_alignment_types(6),
-            del_percentile_frac=0.2,
-            width_over2=8,
-            max_size_full_dp=300,
-            costs_sample_size=20000,
-            num_samps_for_norm=100,
-        )
+        pairs = synth_pairs(args.batch, 2000, 2000, np.random.default_rng(0))
     else:
         pairs = example_pairs(args.batch)
-        kwargs = dict(
-            final_alignment_types=make_alignment_types(6),
-            del_percentile_frac=0.2,
-            width_over2=8,
-            max_size_full_dp=300,
-            costs_sample_size=20000,
-            num_samps_for_norm=100,
-        )
+    kwargs = dict(
+        final_alignment_types=make_alignment_types(6),
+        del_percentile_frac=0.2,
+        width_over2=8,
+        max_size_full_dp=300,
+        costs_sample_size=20000,
+        num_samps_for_norm=100,
+    )
 
     def run(mode):
         os.environ["SVECALIGN_DEVICE_TRACEBACK"] = mode
