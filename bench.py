@@ -498,9 +498,11 @@ def run_knn(n_iters: int = 5):
     fp32 number includes the 16 MB/batch query upload (the production
     default), the fp16 number is --query_upload fp16 (half the bytes),
     the device number is the fused path (queries already on device, only
-    the (nq, k) results cross the tunnel).
+    the (nq, k) results cross the tunnel), and the int8 number is
+    --corpus_quant int8 with device queries (half fp16's corpus HBM and a
+    single-pass bf16 matmul instead of 6-pass HIGHEST fp32).
 
-    The three modes run ROUND-ROBIN inside one window, min-of-N per mode
+    The four modes run ROUND-ROBIN inside one window, min-of-N per mode
     (CLAUDE.md measurement rule) — sequential per-mode loops made
     round-over-round kNN comparisons hostage to tunnel mood (round-4
     VERDICT #7). Deliberately dispatch loops, NOT scan-slope:
@@ -518,12 +520,15 @@ def run_knn(n_iters: int = 5):
     queries = rng.standard_normal((nq, d)).astype(np.float32)
     idx = FlatIndex(dim=d)
     idx.add(corpus)
+    idx8 = FlatIndex(dim=d, corpus_quant="int8")  # half fp16's HBM,
+    idx8.add(corpus)  # single-pass bf16 matmul vs the exact 6-pass HIGHEST
     qd = jnp.asarray(queries)
 
     modes = {
         "fp32": lambda: idx.search(queries, k, upload_dtype="float32"),
         "fp16": lambda: idx.search(queries, k, upload_dtype="float16"),
         "device": lambda: np.asarray(idx.search_device_queries(qd, k)[0]),
+        "int8": lambda: np.asarray(idx8.search_device_queries(qd, k)[0]),
     }
     for call in modes.values():  # compile/upload/cache, all before timing
         call()
@@ -537,8 +542,9 @@ def run_knn(n_iters: int = 5):
     qps = nq / best["fp32"]
     qps16 = nq / best["fp16"]
     qps_dev = nq / best["device"]
+    qps_i8 = nq / best["int8"]
     tflops = qps_dev * 2 * n * d / 1e12
-    return qps, qps16, qps_dev, tflops
+    return qps, qps16, qps_dev, qps_i8, tflops
 
 
 _phase_t0 = time.perf_counter()
@@ -683,7 +689,7 @@ def _run_bench():
     _phase("run_embed_file")
     embed_file_s, embed_audio_rate = run_embed_file()
     _phase("run_knn")
-    knn_qps, knn_qps16, knn_qps_dev, knn_tflops = run_knn()
+    knn_qps, knn_qps16, knn_qps_dev, knn_qps_i8, knn_tflops = run_knn()
     _phase("done")
 
     # DP cells/sec: total banded cells (types x A x B) + dense cells, per second
@@ -736,6 +742,7 @@ def _run_bench():
         "knn_queries_per_sec": round(knn_qps, 1),
         "knn_fp16_upload_queries_per_sec": round(knn_qps16, 1),
         "knn_device_query_queries_per_sec": round(knn_qps_dev, 1),
+        "knn_int8_corpus_queries_per_sec": round(knn_qps_i8, 1),
         "knn_tflops": round(knn_tflops, 2),
         "device": str(jax.devices()[0]),
     }

@@ -113,6 +113,104 @@ def _search_dense_tiled(queries: Array, corpus: Array, corpus_sq: Array, k: int,
     return best_d, best_i
 
 
+def _quantize_rows_host(corpus: np.ndarray):
+    """Symmetric per-row int8 quantization of a corpus (host side).
+
+    Returns ``(codes int8, scales f32, corpus_sq f32)`` where
+    ``codes * scales[:, None]`` is the dequantized corpus and ``corpus_sq``
+    is computed from the DEQUANTIZED rows — so distances produced with
+    these tensors are exactly the L2 geometry of the quantized corpus
+    (internally consistent; ~1e-3 relative vs the fp32 original on
+    L2-normalized embeddings)."""
+    corpus = np.asarray(corpus, dtype=np.float32)
+    amax = np.max(np.abs(corpus), axis=1) if corpus.size else np.zeros(0)
+    scales = np.where(amax == 0, 1.0, amax / 127.0).astype(np.float32)
+    codes = np.clip(np.rint(corpus / scales[:, None]), -127, 127).astype(np.int8)
+    deq = codes.astype(np.float32) * scales[:, None]
+    corpus_sq = np.sum(deq * deq, axis=1).astype(np.float32)
+    return codes, scales, corpus_sq
+
+
+@jax.jit
+def _quantize_corpus_device(corpus: Array, corpus_sq: Array):
+    """Device-side mirror of :func:`_quantize_rows_host` for the fused
+    pipeline's device-assembled corpora (`FlatIndex.set_device_corpus`
+    stores fp32-normalized rows + inf-padded squared norms; padding rows
+    keep ``corpus_sq = inf`` so they never win a top-k)."""
+    amax = jnp.max(jnp.abs(corpus), axis=1)
+    scales = jnp.where(amax == 0, 1.0, amax / 127.0)
+    codes = jnp.clip(jnp.round(corpus / scales[:, None]), -127, 127).astype(jnp.int8)
+    deq = codes.astype(jnp.float32) * scales[:, None]
+    sq = jnp.sum(deq * deq, axis=1)
+    return codes, scales.astype(jnp.float32), jnp.where(
+        jnp.isinf(corpus_sq), jnp.inf, sq
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _search_dense_q8(queries: Array, codes: Array, scales: Array,
+                     corpus_sq: Array, k: int):
+    """Exact search over an int8-quantized corpus.
+
+    int8 codes (|c| <= 127) are exactly representable in bf16, so the
+    similarity matmul runs as ONE bf16 MXU pass (vs the fp32 tier's 6-pass
+    HIGHEST) — the int8 tier trades ~1e-3 distance noise for half the HBM
+    of fp16 and a single-pass matmul. Queries cast to bf16 (noise of the
+    same order as the corpus quantization itself)."""
+    sims = jnp.dot(
+        queries.astype(jnp.bfloat16),
+        codes.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * scales[None, :]
+    qf = queries.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)
+    d2 = q_sq + corpus_sq[None, :] - 2.0 * sims
+    neg_d, idx = jax.lax.top_k(-d2, k)
+    return -neg_d, idx
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def _search_dense_tiled_q8(queries: Array, codes: Array, scales: Array,
+                           corpus_sq: Array, k: int, block: int):
+    """Streaming variant of :func:`_search_dense_q8` (same block scan as
+    :func:`_search_dense_tiled`; corpus padded to a ``block`` multiple with
+    ``corpus_sq = inf`` on padding rows)."""
+    n_blocks = codes.shape[0] // block
+    qb = queries.astype(jnp.bfloat16)
+    qf = queries.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)
+    nq = queries.shape[0]
+
+    codes_b = codes.reshape(n_blocks, block, codes.shape[1])
+    scales_b = scales.reshape(n_blocks, block)
+    corpus_sq_b = corpus_sq.reshape(n_blocks, block)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        c_blk, s_blk, csq_blk, blk_id = inp
+        sims = jnp.dot(
+            qb, c_blk.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * s_blk[None, :]
+        d2 = q_sq + csq_blk[None, :] - 2.0 * sims
+        neg_d, idx = jax.lax.top_k(-d2, k)
+        cand_d = jnp.concatenate([best_d, -neg_d], axis=1)
+        cand_i = jnp.concatenate([best_i, idx + blk_id * block], axis=1)
+        neg_m, pos = jax.lax.top_k(-cand_d, k)
+        best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (-neg_m, best_i), None
+
+    init = (
+        jnp.full((nq, k), jnp.inf, jnp.float32),
+        jnp.zeros((nq, k), jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init,
+        (codes_b, scales_b, corpus_sq_b, jnp.arange(n_blocks, dtype=jnp.int32)),
+    )
+    return best_d, best_i
+
+
 def _pad_to_k(d2: np.ndarray, idx: np.ndarray, k: int):
     """Pad search results out to (nq, k): faiss IndexFlatL2 always returns
     k columns, with missing neighbors as +inf distance / -1 id. Every index
@@ -133,13 +231,22 @@ class FlatIndex:
     shaped (n_queries, k) — the faiss IndexFlatL2 contract.
     """
 
-    def __init__(self, dim: int = 1024, query_upload: str = "float32"):
+    def __init__(self, dim: int = 1024, query_upload: str = "float32",
+                 corpus_quant: str = "none"):
         self.dim = dim
         # "float16" halves query staging bytes over the tunnel (~1e-3
         # relative distance noise); opt-in via score_align --query_upload
         self.query_upload = query_upload
+        # "int8": per-row symmetric int8 device corpus — half fp16's HBM
+        # (doubling single-chip corpus headroom, the ladder step BASELINE.md
+        # reserves before IVF) and a single-pass bf16 matmul instead of the
+        # exact tier's 6-pass HIGHEST. ~1e-3 relative distance noise;
+        # opt-in via score_align --corpus_quant int8
+        assert corpus_quant in ("none", "int8"), corpus_quant
+        self.corpus_quant = corpus_quant
         self._chunks = []
         self._device_cache = None  # (corpus, corpus_sq) on device
+        self._device_cache_q8 = None  # (codes, scales, corpus_sq) on device
         self._fp16_exact = True  # all added vectors round-trip through fp16
 
     @property
@@ -155,6 +262,7 @@ class FlatIndex:
             self._fp16_exact = False
         self._chunks.append(vectors)
         self._device_cache = None
+        self._device_cache_q8 = None
 
     @property
     def corpus(self) -> np.ndarray:
@@ -190,6 +298,30 @@ class FlatIndex:
             self._device_cache = (jnp.asarray(corpus), jnp.asarray(corpus_sq))
         return self._device_cache
 
+    def _device_corpus_q8(self, tiled: bool):
+        """int8 tier of :meth:`_device_corpus`: upload codes (quarter the
+        fp32 bytes) + per-row scales once; cache. A fused device-assembled
+        corpus (``set_device_corpus``) is re-quantized ON DEVICE — no rows
+        cross the host boundary either way."""
+        if self._device_cache_q8 is None:
+            if self._device_cache is not None and not self._chunks:
+                # fused pipeline: quantize the device-resident corpus
+                self._device_cache_q8 = _quantize_corpus_device(*self._device_cache)
+            else:
+                n = self.ntotal
+                codes, scales, corpus_sq = _quantize_rows_host(self.corpus)
+                if tiled:
+                    pad = (-n) % self.BLOCK
+                    codes = np.pad(codes, ((0, pad), (0, 0)))
+                    scales = np.pad(scales, (0, pad), constant_values=1.0)
+                    corpus_sq = np.pad(corpus_sq, (0, pad),
+                                       constant_values=np.inf)
+                self._device_cache_q8 = (
+                    jnp.asarray(codes), jnp.asarray(scales),
+                    jnp.asarray(corpus_sq),
+                )
+        return self._device_cache_q8
+
     def set_device_corpus(self, rows_fp16, n_valid: int) -> None:
         """Install a device-assembled corpus (fused pipeline, no upload).
 
@@ -202,10 +334,23 @@ class FlatIndex:
         assert rows_fp16.shape[0] % self.BLOCK == 0, rows_fp16.shape
         assert n_valid == self.ntotal, (n_valid, self.ntotal)
         self._device_cache = _normalize_corpus(rows_fp16, jnp.int32(n_valid))
+        self._device_cache_q8 = None
 
     def _search_core(self, queries, k_eff: int):
         """Shared search over device-resident queries -> device (d2, idx)."""
         tiled = self.ntotal * queries.shape[0] > self.TILE_THRESHOLD
+        if self.corpus_quant == "int8":
+            codes, scales, corpus_sq = self._device_corpus_q8(tiled)
+            if not tiled and codes.shape[0] != self.ntotal:
+                tiled = True  # cache built padded (or fused); reuse tiled
+            if tiled and codes.shape[0] % self.BLOCK != 0:
+                self._device_cache_q8 = None  # rebuild with padding
+                codes, scales, corpus_sq = self._device_corpus_q8(True)
+            if tiled:
+                return _search_dense_tiled_q8(
+                    queries, codes, scales, corpus_sq, k_eff, self.BLOCK
+                )
+            return _search_dense_q8(queries, codes, scales, corpus_sq, k_eff)
         corpus, corpus_sq = self._device_corpus(tiled)
         if not tiled and corpus.shape[0] != self.ntotal:
             # cache was built padded for the tiled path; reuse it tiled
@@ -339,36 +484,132 @@ def sharded_search(
     return np.asarray(d_best), np.asarray(i_best)
 
 
+def shard_corpus_q8(
+    corpus: np.ndarray, mesh: Optional[Mesh] = None, axis: str = "data"
+):
+    """int8 tier of :func:`shard_corpus`: quantize per-row on host, then
+    shard (codes, scales, dequant-consistent sq) over the mesh — quarter
+    the fp32 staging bytes and half fp16's per-shard HBM."""
+    if mesh is None:
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices, (axis,))
+    n_dev = mesh.devices.size
+    n = corpus.shape[0]
+    codes, scales, corpus_sq = _quantize_rows_host(corpus)
+    pad = (-n) % n_dev
+    codes = np.pad(codes, ((0, pad), (0, 0)))
+    scales = np.pad(scales, (0, pad), constant_values=1.0)
+    # inf sq marks padding rows: they never win a top-k (same convention
+    # as the valid mask of the fp path)
+    corpus_sq = np.pad(corpus_sq, (0, pad), constant_values=np.inf)
+    row_sh = NamedSharding(mesh, P(axis))
+    return (
+        mesh,
+        jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P(axis, None))),
+        jax.device_put(jnp.asarray(scales), row_sh),
+        jax.device_put(jnp.asarray(corpus_sq), row_sh),
+    )
+
+
+def sharded_search_q8(
+    queries,
+    n_total: int,
+    k: int,
+    prepared,
+    query_upload: str = "float32",
+) -> Tuple[Array, Array]:
+    """:func:`sharded_search` over an int8-quantized sharded corpus: each
+    shard runs the single-pass bf16 matmul of :func:`_search_dense_q8`
+    locally, then the per-shard candidates merge over ICI exactly like the
+    fp path. ``prepared`` comes from :func:`shard_corpus_q8`."""
+    mesh, codes_j, scales_j, sq_j = prepared
+    k = min(k, n_total)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    if _is_device_array(queries):
+        queries = queries.astype(jnp.float32)
+    elif query_upload == "float16":
+        queries = jnp.asarray(np.asarray(queries).astype(np.float16)).astype(
+            jnp.float32
+        )
+    else:
+        queries = jnp.asarray(queries, dtype=jnp.float32)
+
+    per_shard = codes_j.shape[0] // n_dev
+    kk = min(k, per_shard)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,  # see sharded_search
+    )
+    def search_and_merge(q, c_shard, s_shard, sq_shard):
+        sims = jnp.dot(
+            q.astype(jnp.bfloat16), c_shard.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * s_shard[None, :]
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+        d2 = q_sq + sq_shard[None, :] - 2.0 * sims
+        neg_d, idx = jax.lax.top_k(-d2, kk)
+        offset = jax.lax.axis_index(axis) * per_shard
+        idx = idx + offset
+        d_all = jax.lax.all_gather(-neg_d, axis, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        neg_best, pos = jax.lax.top_k(-d_all, min(k, n_dev * kk))
+        return -neg_best, jnp.take_along_axis(i_all, pos, axis=1)
+
+    return search_and_merge(queries, codes_j, scales_j, sq_j)
+
+
 class ShardedFlatIndex:
     """Flat index whose corpus is sharded row-wise across the device mesh.
 
     Same ``search`` contract as :class:`FlatIndex`; use for corpora that
-    exceed one chip's HBM (the TPU analog of faiss fp16-shard)."""
+    exceed one chip's HBM (the TPU analog of faiss fp16-shard).
+    ``corpus_quant="int8"`` composes the two memory levers: row-sharding
+    x half-of-fp16 per-shard HBM (~1e-3 distance noise)."""
 
     def __init__(
         self,
         corpus: np.ndarray,
         mesh: Optional[Mesh] = None,
         query_upload: str = "float32",
+        corpus_quant: str = "none",
     ):
         self.corpus = np.asarray(corpus, dtype=np.float32)
         self.dim = self.corpus.shape[1]
         self.query_upload = query_upload
-        # fp16 device shards when lossless (half the upload + HBM)
-        dev = self.corpus
-        if np.array_equal(dev, dev.astype(np.float16).astype(np.float32)):
-            dev = dev.astype(np.float16)
-        self._prepared = shard_corpus(dev, mesh)  # device-resident
+        assert corpus_quant in ("none", "int8"), corpus_quant
+        self.corpus_quant = corpus_quant
+        if corpus_quant == "int8":
+            self._prepared = shard_corpus_q8(self.corpus, mesh)
+        else:
+            # fp16 device shards when lossless (half the upload + HBM)
+            dev = self.corpus
+            if np.array_equal(dev, dev.astype(np.float16).astype(np.float32)):
+                dev = dev.astype(np.float16)
+            self._prepared = shard_corpus(dev, mesh)  # device-resident
 
     @property
     def ntotal(self) -> int:
         return self.corpus.shape[0]
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        d2, idx = sharded_search(
-            queries, self.corpus, min(k, self.ntotal),
+    def _search(self, queries, k: int):
+        if self.corpus_quant == "int8":
+            return sharded_search_q8(
+                queries, self.ntotal, k,
+                prepared=self._prepared, query_upload=self.query_upload,
+            )
+        return sharded_search(
+            queries, self.corpus, k,
             prepared=self._prepared, query_upload=self.query_upload,
         )
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        d2, idx = self._search(queries, min(k, self.ntotal))
         return _pad_to_k(np.asarray(d2), np.asarray(idx), k)
 
     def search_device_queries(self, queries, k: int):
@@ -376,10 +617,7 @@ class ShardedFlatIndex:
         the replicated operand rides ICI to every shard; only the merged
         (nq, k) results cross D2H."""
         assert self.ntotal >= k, (self.ntotal, k)
-        return sharded_search(
-            queries, self.corpus, k,
-            prepared=self._prepared, query_upload=self.query_upload,
-        )
+        return self._search(queries, k)
 
 
 # ---------------------------------------------------------------------------

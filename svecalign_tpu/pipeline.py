@@ -113,6 +113,12 @@ def parse_args():
                              "a 1-core host is a measurement (BASELINE.md); "
                              "stage_seconds then double-counts the "
                              "overlapped wall.")
+    parser.add_argument("--corpus_quant", type=str, default="fp16",
+                        choices=["fp16", "int8"],
+                        help="score_align device-corpus precision: int8 "
+                             "halves fp16's HBM (2x single-chip corpus "
+                             "headroom) and searches single-pass bf16 "
+                             "(~1e-3 margin noise); fp16 is exact.")
     parser.add_argument("--knn_k", type=int, default=16,
                         help="score_align --k (neighbors per margin "
                              "denominator). Corpora smaller than k collapse "
@@ -347,7 +353,9 @@ def main():
                 "--index_dir", ali_idx, "--embed_fp16",
                 "--k", str(args.knn_k),
                 *(["--embed_stopes"] if stopes else []),
-                *(["--sharded_index"] if args.sharded_index else []))
+                *(["--sharded_index"] if args.sharded_index else []),
+                *(["--corpus_quant", "int8"]
+                  if args.corpus_quant == "int8" else []))
     if "prep_tsv" in stages:
         _invoke("svecalign_tpu.postprocess.prep_tsv", meta, ali_tsv, *langs,
                 "--align_dir", ali_mrg, "--seg_dir", seg)

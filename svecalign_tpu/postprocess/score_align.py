@@ -60,6 +60,14 @@ def parse_args():
     parser.add_argument("--sharded_index", action="store_true", default=False,
                         help="shard the corpus row-wise across all devices "
                              "(for corpora exceeding one chip's HBM).")
+    parser.add_argument("--corpus_quant", type=str, default="fp16",
+                        choices=["fp16", "int8"],
+                        help="device-corpus precision for Flat indexes: "
+                             "int8 halves fp16's HBM (2x single-chip corpus "
+                             "headroom) and searches with a single-pass "
+                             "bf16 matmul (~1e-3 relative margin noise); "
+                             "fp16 is exact vs faiss. Flat and sharded-Flat "
+                             "corpora; IVF keeps fp16.")
     return parser.parse_args()
 
 
@@ -200,6 +208,18 @@ def main():
         src_index.query_upload = tgt_index.query_upload = "float16"
         logger.info("Queries stage to device as fp16 (half the tunnel bytes)")
 
+    if args.corpus_quant == "int8" and not args.sharded_index:
+        from svecalign_tpu.ops.topk import FlatIndex as _Flat
+
+        if isinstance(src_index, _Flat) and isinstance(tgt_index, _Flat):
+            src_index.corpus_quant = tgt_index.corpus_quant = "int8"
+            logger.info("Device corpora quantize to int8 (half fp16 HBM, "
+                        "single-pass bf16 search; ~1e-3 margin noise)")
+        else:
+            logger.warning("--corpus_quant int8 only applies to Flat "
+                           "indexes; loaded %s/%s keep fp16",
+                           type(src_index).__name__, type(tgt_index).__name__)
+
     if args.sharded_index:
         # shard whatever index type was loaded — the reference's fp16-shard
         # spreads the loaded index (Flat OR IVF) across local GPUs
@@ -214,8 +234,15 @@ def main():
 
         def shard(ix):
             if isinstance(ix, FlatIndex):
-                return ShardedFlatIndex(ix.corpus, query_upload=ix.query_upload)
+                return ShardedFlatIndex(
+                    ix.corpus, query_upload=ix.query_upload,
+                    corpus_quant="int8" if args.corpus_quant == "int8"
+                    else "none",
+                )
             if isinstance(ix, IVFIndex):
+                if args.corpus_quant == "int8":
+                    logger.warning("--corpus_quant int8 only applies to "
+                                   "Flat corpora; sharded IVF keeps fp16")
                 return ShardedIVFIndex(ix, query_upload=ix.query_upload)
             return ix  # already sharded (or a live registry handoff)
 

@@ -417,3 +417,39 @@ def test_stage_rows_device_dedup_and_sharded():
     for (a0, s0), (a1, s1) in zip(base, sharded):
         assert a0 == a1
         np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_score_align_int8_corpus_close_to_fp16(tmp_path):
+    """score_align --corpus_quant int8 (file path AND fused registry
+    handoff): margins must track the exact fp16 tier within the int8
+    quantization noise, and the fused int8 run (device-side requant of the
+    registry's live corpus) must match the file-path int8 run the same
+    way fused fp16 matches file fp16."""
+    import jax.numpy as jnp
+
+    from svecalign_tpu.utils import embed_cache
+
+    rng = np.random.default_rng(31)
+    meta, embed_files = _write_mining_fixture(tmp_path, rng)
+    K = 4
+
+    ref = _run_mining_stages(meta, tmp_path, "fp16", K)
+    got = _run_mining_stages(meta, tmp_path, "int8", K,
+                             score_args=("--corpus_quant", "int8"))
+    assert got.keys() == ref.keys()
+    for name in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[name]), np.asarray(ref[name]), rtol=0.03, atol=1e-3
+        )
+
+    embed_cache.enable(rows=16)
+    for path, rows in embed_files.items():
+        padded = np.zeros((16, rows.shape[1]), np.float16)
+        padded[: rows.shape[0]] = rows.astype(np.float16)
+        embed_cache.put(path, rows.shape[0], jnp.asarray(padded))
+    fused = _run_mining_stages(meta, tmp_path, "int8_fused", K,
+                               score_args=("--corpus_quant", "int8"))
+    for name in got:
+        np.testing.assert_allclose(
+            np.asarray(fused[name]), np.asarray(got[name]), rtol=5e-3, atol=1e-4
+        )

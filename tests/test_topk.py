@@ -521,3 +521,131 @@ def test_k_beyond_ntotal_pads_identically_across_tiers():
         assert (i[:, 6:] == -1).all()
     np.testing.assert_allclose(d_s[:, :6], d_f[:, :6], rtol=1e-5, atol=1e-5)
     assert (i_s[:, 0] == i_f[:, 0]).all()
+
+
+def test_int8_corpus_matches_quantized_oracle():
+    """--corpus_quant int8: distances equal the numpy L2 oracle over the
+    DEQUANTIZED corpus (internally consistent geometry), within the bf16
+    query rounding of the single-pass matmul."""
+    rng = np.random.default_rng(21)
+    corpus = _random_corpus(rng, 500)
+    queries = _random_corpus(rng, 20)
+
+    idx = FlatIndex(dim=64, corpus_quant="int8")
+    idx.add(corpus)
+    d2, ids = idx.search(queries, 8)
+
+    # host oracle over the quantized corpus
+    amax = np.max(np.abs(corpus), axis=1)
+    scales = np.where(amax == 0, 1.0, amax / 127.0).astype(np.float32)
+    deq = np.clip(np.rint(corpus / scales[:, None]), -127, 127) * scales[:, None]
+    full = (
+        np.sum(queries**2, axis=1, keepdims=True)
+        + np.sum(deq**2, axis=1)[None]
+        - 2 * queries @ deq.T
+    )
+    rows = np.arange(20)[:, None]
+    np.testing.assert_allclose(d2, np.take_along_axis(full, ids, 1),
+                               rtol=0, atol=0.02)
+    # vs the fp32 exact tier: neighbor sets nearly identical (~1e-3 noise)
+    exact = FlatIndex(dim=64)
+    exact.add(corpus)
+    _, ids_ref = exact.search(queries, 8)
+    overlap = np.mean([len(set(ids[r]) & set(ids_ref[r])) / 8 for r in range(20)])
+    assert overlap >= 0.9, overlap
+
+
+def test_int8_corpus_self_is_nearest():
+    rng = np.random.default_rng(22)
+    corpus = _random_corpus(rng, 100)
+    idx = FlatIndex(dim=64, corpus_quant="int8")
+    idx.add(corpus)
+    d2, ids = idx.search(corpus[:10], 1)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(10))
+    assert np.all(d2[:, 0] < 5e-3)  # quantization floor, not exact zero
+
+
+def test_int8_tiled_matches_dense(monkeypatch):
+    rng = np.random.default_rng(23)
+    corpus = _random_corpus(rng, 1000)
+    queries = _random_corpus(rng, 33)
+    idx = FlatIndex(dim=64, corpus_quant="int8")
+    idx.add(corpus)
+    d_ref, i_ref = idx.search(queries, 7)
+
+    monkeypatch.setattr(FlatIndex, "TILE_THRESHOLD", 1)  # force streaming
+    monkeypatch.setattr(FlatIndex, "BLOCK", 128)
+    idx._device_cache_q8 = None  # cache was built unpadded
+    d_got, i_got = idx.search(queries, 7)
+    np.testing.assert_allclose(d_got, d_ref, rtol=1e-4, atol=1e-5)
+    for r in range(33):
+        assert set(i_got[r]) == set(i_ref[r])
+
+
+def test_int8_fused_device_corpus_matches_host_quant():
+    """Fused pipeline handoff: a device-assembled corpus
+    (set_device_corpus) flipped to int8 re-quantizes ON DEVICE and must
+    agree with the host-quantized int8 path (same rows both ways)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(24)
+    corpus = _random_corpus(rng, 300)
+    queries = _random_corpus(rng, 16)
+
+    host = FlatIndex(dim=64, corpus_quant="int8")
+    host.add(corpus)
+    d_h, i_h = host.search(queries, 8)
+
+    fused = FlatIndex(dim=64, corpus_quant="int8")
+    fused.add(corpus)  # ntotal bookkeeping (mirrors prep_index)
+    pad = (-300) % FlatIndex.BLOCK
+    rows = jnp.asarray(np.pad(corpus, ((0, pad), (0, 0))).astype(np.float16))
+    fused.set_device_corpus(rows, 300)
+    d_f, i_f = fused.search(queries, 8)
+
+    # device path normalizes + quantizes on device from fp16 rows: codes
+    # can differ by 1 ulp of rounding, so compare geometry not bits
+    np.testing.assert_allclose(d_f, d_h, rtol=0, atol=0.02)
+    overlap = np.mean([len(set(i_f[r]) & set(i_h[r])) / 8 for r in range(16)])
+    assert overlap >= 0.9, overlap
+
+
+def test_int8_k_beyond_ntotal_pads():
+    rng = np.random.default_rng(25)
+    corpus = _random_corpus(rng, 6, d=32)
+    idx = FlatIndex(dim=32, corpus_quant="int8")
+    idx.add(corpus)
+    d2, ids = idx.search(corpus[:3], 16)
+    assert d2.shape == (3, 16) and ids.shape == (3, 16)
+    assert np.isinf(d2[:, 6:]).all() and (ids[:, 6:] == -1).all()
+
+
+def test_int8_sharded_matches_single_device_int8():
+    """ShardedFlatIndex(corpus_quant="int8"): the two memory levers
+    compose — per-shard bf16 single-pass search + ICI merge must agree
+    with the single-device int8 tier (same quantized geometry; shard
+    padding rows carry inf sq so they never win)."""
+    import jax
+
+    from svecalign_tpu.ops.topk import ShardedFlatIndex
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(26)
+    corpus = _random_corpus(rng, 333)  # not divisible by 8
+    queries = _random_corpus(rng, 17)
+
+    flat = FlatIndex(dim=64, corpus_quant="int8")
+    flat.add(corpus)
+    d_ref, i_ref = flat.search(queries, 10)
+
+    sh = ShardedFlatIndex(corpus, corpus_quant="int8")
+    d_got, i_got = sh.search(queries, 10)
+
+    np.testing.assert_allclose(d_got, d_ref, rtol=1e-3, atol=1e-4)
+    for r in range(17):
+        assert len(set(i_got[r]) & set(i_ref[r])) >= 9  # bf16 tie jitter
+
+    # device-query entry + k > ntotal padding
+    d_p, i_p = sh.search(queries, 400)
+    assert d_p.shape == (17, 400)
+    assert np.isinf(d_p[:, 333:]).all() and (i_p[:, 333:] == -1).all()
