@@ -288,3 +288,33 @@ def test_overlap_untrans_outputs_identical(tmp_path):
         assert [p.name for p in a] == [p.name for p in b] and a
         for x, y in zip(a, b):
             assert x.read_bytes() == y.read_bytes(), x.name
+
+
+def test_pipeline_forwards_corpus_quant(tmp_path, monkeypatch):
+    """--corpus_quant int8 must reach score_align (and only score_align);
+    the default fp16 must add nothing (reference-contract argv)."""
+    import svecalign_tpu.pipeline as pl
+
+    meta = tmp_path / "md.tsv"
+    meta.write_text("/a_en.ogg\t/a_de.ogg\n")
+
+    def run(*extra):
+        calls = []
+        monkeypatch.setattr(pl, "_invoke",
+                            lambda mod, *argv: calls.append((mod, argv)))
+        monkeypatch.setattr(
+            "sys.argv",
+            ["pipeline", str(meta), str(tmp_path / "out"),
+             "--src_lang", "en", "--tgt_lang", "de",
+             "--stages", "prep_index,score_align", *extra],
+        )
+        pl.main()
+        return {mod.rsplit(".", 1)[1]: argv for mod, argv in calls}
+
+    default = run()
+    assert "--corpus_quant" not in default["score_align"]
+    q8 = run("--corpus_quant", "int8")
+    assert ("--corpus_quant", "int8") == tuple(
+        q8["score_align"][q8["score_align"].index("--corpus_quant"):][:2]
+    )
+    assert "--corpus_quant" not in q8["prep_index"]
